@@ -1,0 +1,288 @@
+"""Immutable experiment configuration.
+
+TPU-first redesign of the reference's mutable argparse namespace
+(/root/reference/main.py:22-169 and the conditional mutation logic at
+main.py:172-306).  Instead of mutating a Namespace in place, we use a frozen
+dataclass plus pure "preset" functions that return new configs; anything that
+changes *during* training (progressive view ranges, progressive hash-grid
+levels, ...) is expressed as an explicit schedule function of the step index
+(see dreamfusion_tpu/training/schedules.py), never as config mutation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field, replace
+from typing import Any, Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class Config:
+    # ---- workspace / run mode (reference main.py:26-61) ----
+    text: Optional[str] = None
+    negative: str = ""
+    workspace: str = "workspace"
+    seed: Optional[int] = None
+    test: bool = False
+    six_views: bool = False
+    eval_interval: int = 1
+    test_interval: int = 100
+    save_mesh: bool = False
+    mcubes_resolution: int = 256
+    decimate_target: int = 50000
+    ckpt: str = "latest"
+
+    # ---- guidance (main.py:43-56) ----
+    guidance: Tuple[str, ...] = ("SD",)
+    guidance_scale: float = 100.0
+    sd_version: str = "2.1"
+    hf_key: Optional[str] = None
+    # Local paths to converted flax / torch weights (zero-egress replacement for
+    # the reference's HuggingFace downloads, sd_utils.py:34-49).
+    pretrained_root: Optional[str] = None
+    fp16: bool = True
+    vram_O: bool = False
+    t_range: Tuple[float, float] = (0.02, 0.98)
+
+    # ---- image-conditioned mode (main.py:39-42) ----
+    image: Optional[str] = None
+    image_config: Optional[str] = None
+    learned_embeds_path: Optional[str] = None
+    known_view_interval: int = 4
+    known_view_scale: float = 1.5
+    known_view_noise_scale: float = 2e-3
+    dmtet_reso_scale: float = 8.0
+    bg_radius: float = 1.4
+
+    # ---- training (main.py:57-84) ----
+    iters: int = 10000
+    lr: float = 1e-3
+    ckpt_extra: Optional[str] = None
+    max_steps: int = 1024          # grid-march sample budget per ray
+    num_steps: int = 64            # vanilla: coarse samples
+    upsample_steps: int = 32       # vanilla: importance samples
+    update_extra_interval: int = 16
+    max_ray_batch: int = 4096
+    latent_iter_ratio: float = 0.2
+    albedo_iter_ratio: float = 0.0
+    min_ambient_ratio: float = 0.1
+    textureless_ratio: float = 0.2
+    jitter_pose: bool = False
+    jitter_center: float = 0.2
+    jitter_target: float = 0.2
+    jitter_up: float = 0.02
+    uniform_sphere_rate: float = 0.0
+    grad_clip: float = -1.0
+    grad_clip_rgb: float = -1.0
+
+    # ---- model / rendering (main.py:85-112) ----
+    backbone: str = "grid"         # grid | vanilla
+    optim: str = "adan"            # adan | adam
+    bound: float = 1.0
+    dt_gamma: float = 0.0
+    min_near: float = 0.01
+    density_activation: str = "exp"   # exp (trunc_exp) | softplus
+    density_thresh: float = 10.0
+    blob_density: float = 5.0
+    blob_radius: float = 0.2
+    grid_size: int = 128
+    # TPU-native renderer knobs (replaces the reference's dynamic two-pass
+    # CUDA allocation, raymarching.py:197-256, with static sample budgets):
+    grid_coarse_steps: int = 128   # occupancy-probe samples per ray
+    grid_fine_steps: int = 128     # network-evaluated samples per ray
+    occupancy_mode: str = "resample"  # resample | mask
+
+    # ---- network arch (reference nerf/network_grid.py:24-66, network.py:89-148) ----
+    hidden_dim: int = 64
+    num_layers: int = 3
+    hidden_dim_bg: int = 32
+    num_layers_bg: int = 2
+    # hash grid (gridencoder defaults, encoding.py:68-76)
+    grid_levels: int = 16
+    grid_features_per_level: int = 2
+    grid_log2_hashmap_size: int = 19
+    grid_base_resolution: int = 16
+    grid_desired_resolution: int = 2048
+    grid_interpolation: str = "smoothstep"  # linear | smoothstep
+    # vanilla freq encoding (network.py:97-100)
+    freq_multires: int = 6
+    freq_multires_bg: int = 4
+
+    # ---- camera / dataset (main.py:113-139) ----
+    w: int = 64
+    h: int = 64
+    dataset_size_train: int = 100
+    dataset_size_valid: int = 8
+    dataset_size_test: int = 100
+    batch_size: int = 1
+    radius_range: Tuple[float, float] = (3.0, 3.5)
+    theta_range: Tuple[float, float] = (45.0, 105.0)
+    phi_range: Tuple[float, float] = (-180.0, 180.0)
+    fovy_range: Tuple[float, float] = (10.0, 30.0)
+    default_radius: float = 3.2
+    default_polar: float = 90.0
+    default_azimuth: float = 0.0
+    default_fovy: float = 20.0
+    progressive_view: bool = False
+    progressive_view_init_ratio: float = 0.2
+    progressive_level: bool = False
+    angle_overhead: float = 30.0
+    angle_front: float = 60.0
+    t5_iters: int = -1
+    dont_override_stuff: bool = False
+
+    # ---- lambdas (main.py:140-158) ----
+    lambda_entropy: float = 1e-3
+    lambda_opacity: float = 0.0
+    lambda_orient: float = 1e-2
+    lambda_tv: float = 0.0
+    lambda_wd: float = 0.0
+    lambda_mesh_normal: float = 0.5
+    lambda_mesh_laplacian: float = 0.5
+    lambda_guidance: float = 1.0
+    lambda_rgb: float = 1000.0
+    lambda_mask: float = 500.0
+    lambda_normal: float = 0.0
+    lambda_depth: float = 10.0
+    lambda_2d_normal_smooth: float = 0.0
+    lambda_3d_normal_smooth: float = 0.0
+    lambda_clip: float = 1.0
+
+    # ---- perpneg (main.py:36-38, nerf/utils.py:60-100) ----
+    perpneg: bool = False
+    negative_w: float = -2.0
+    front_decay_factor: float = 2.0
+    side_decay_factor: float = 10.0
+
+    # ---- DMTet stage (main.py:100-107) ----
+    dmtet: bool = False
+    tet_grid_size: int = 128
+    init_with: str = ""
+    lock_geo: bool = False
+
+    # ---- zero123 (main.py:159-163) ----
+    zero123_config: Optional[str] = None
+    zero123_ckpt: Optional[str] = None
+    zero123_grad_scale: str = "angle"   # angle | None
+
+    # ---- misc / infra ----
+    ema_decay: float = 0.95
+    max_keep_ckpt: int = 2
+    save_guidance: bool = False
+    save_guidance_interval: int = 10
+    exp_start_iter: Optional[int] = None
+    exp_end_iter: Optional[int] = None
+
+    # ---- TPU parallelism (replaces the dormant DDP path, nerf/utils.py:248-250) ----
+    mesh_shape: Tuple[int, ...] = (1,)          # device mesh, e.g. (8,) or (4, 2)
+    mesh_axes: Tuple[str, ...] = ("data",)      # axis names matching mesh_shape
+    shard_views: bool = True                    # data-parallel over rendered views
+
+    # ---- precision ----
+    compute_dtype: str = "bfloat16"   # activations in bf16, params fp32
+    # ------------------------------------------------------------------
+
+    @property
+    def cascade(self) -> int:
+        import math
+        return 1 + max(0, int(math.ceil(math.log2(max(self.bound, 1.0)))))
+
+    @property
+    def default_zero123_w(self) -> float:
+        return 1.0
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        d = json.loads(s)
+        known = {f.name for f in dataclasses.fields(Config)}
+        d = {k: (tuple(v) if isinstance(v, list) else v) for k, v in d.items() if k in known}
+        return Config(**d)
+
+
+# ---------------------------------------------------------------------------
+# Preset expansion — pure functions mirroring the reference's in-place flag
+# overrides (main.py:170-306) but returning new Config objects.
+# ---------------------------------------------------------------------------
+
+def apply_O(cfg: Config) -> Config:
+    """`-O`: fp16 + grid backbone with occupancy-accelerated marching
+    (reference main.py:172-174 sets fp16 + cuda_ray; our grid renderer is the
+    TPU equivalent of cuda_ray)."""
+    return replace(cfg, fp16=True, backbone="grid")
+
+
+def apply_O2(cfg: Config) -> Config:
+    """`-O2`: fp16 + vanilla backbone + progressive level (main.py:176-179)."""
+    return replace(cfg, fp16=True, backbone="vanilla", progressive_level=True)
+
+
+def apply_IF(cfg: Config) -> Config:
+    """`--IF`: swap SD guidance for DeepFloyd-IF (main.py:181-185)."""
+    guidance = tuple("IF" if g == "SD" else g for g in cfg.guidance)
+    return replace(cfg, guidance=guidance, latent_iter_ratio=0.0)
+
+
+def apply_image_mode(cfg: Config) -> Config:
+    """Image-only conditioning → zero123 guidance (main.py:196-232)."""
+    if cfg.dont_override_stuff:
+        return replace(cfg, guidance=("zero123",))
+    return replace(
+        cfg,
+        guidance=("zero123",),
+        fovy_range=(cfg.default_fovy, cfg.default_fovy),
+        guidance_scale=5.0,
+        lambda_3d_normal_smooth=10.0,
+        lambda_entropy=1.0,
+        lambda_orient=1.0,
+        latent_iter_ratio=0.0,
+        progressive_view=True,
+        progressive_level=True,
+    )
+
+
+def apply_image_text_mode(cfg: Config) -> Config:
+    """Image + text → SD + CLIP guidance (main.py:203-212)."""
+    out = replace(
+        cfg,
+        guidance=("SD", "clip"),
+        bg_radius=-1.0,
+    )
+    if cfg.dont_override_stuff:
+        return out
+    return replace(
+        out,
+        guidance_scale=10.0,
+        t_range=(0.2, 0.6),
+        known_view_interval=2,
+        lambda_3d_normal_smooth=20.0,
+    )
+
+
+def apply_dmtet(cfg: Config) -> Config:
+    """DMTet refinement stage overrides (main.py:253-274)."""
+    h = int(cfg.h * cfg.dmtet_reso_scale)
+    w = int(cfg.w * cfg.dmtet_reso_scale)
+    out = replace(cfg, dmtet=True, h=h, w=w)
+    if cfg.dont_override_stuff:
+        return out
+    out = replace(
+        out,
+        t_range=(0.02, 0.5),
+        latent_iter_ratio=0.0,
+        albedo_iter_ratio=0.0,
+        progressive_view=False,
+    )
+    if cfg.image is not None:
+        out = replace(out, known_view_scale=1.0)
+    return out
+
+
+def finalize(cfg: Config) -> Config:
+    """Final derived-value fixups applied once after all presets."""
+    exp_start = cfg.exp_start_iter if cfg.exp_start_iter is not None else 0
+    exp_end = cfg.exp_end_iter if cfg.exp_end_iter is not None else cfg.iters
+    return replace(cfg, exp_start_iter=exp_start, exp_end_iter=exp_end)

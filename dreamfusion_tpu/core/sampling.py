@@ -1,0 +1,100 @@
+"""Ray-interval math and hierarchical importance sampling.
+
+Reference semantics: nerf/renderer.py:19-79 (`sample_pdf`,
+`near_far_from_bound`).  Rewritten vectorized for XLA: the CDF inversion
+uses `jnp.searchsorted` (lowered to a fused binary search) and everything
+is static-shape.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def near_far_from_bound(
+    rays_o: jax.Array,            # [..., 3]
+    rays_d: jax.Array,            # [..., 3]
+    bound: float,
+    kind: str = "cube",
+    min_near: float = 0.05,
+) -> Tuple[jax.Array, jax.Array]:
+    """Ray/AABB (or sphere) entry-exit distances; [..., 1] each.
+
+    Non-intersecting rays get near=far=1e9 (reference renderer.py:55-79).
+    """
+    if kind == "sphere":
+        radius = jnp.linalg.norm(rays_o, axis=-1, keepdims=True)
+        return radius - bound, radius + bound
+
+    inv_d = 1.0 / (rays_d + 1e-15)
+    tmin = (-bound - rays_o) * inv_d
+    tmax = (bound - rays_o) * inv_d
+    near = jnp.max(jnp.minimum(tmin, tmax), axis=-1, keepdims=True)
+    far = jnp.min(jnp.maximum(tmin, tmax), axis=-1, keepdims=True)
+    miss = far < near
+    near = jnp.where(miss, 1e9, near)
+    far = jnp.where(miss, 1e9, far)
+    near = jnp.maximum(near, min_near)
+    return near, far
+
+
+def sample_pdf(
+    key: Optional[jax.Array],
+    bins: jax.Array,        # [B, T]   bin edges (z values)
+    weights: jax.Array,     # [B, T-1] bin weights
+    n_samples: int,
+    det: bool = False,
+) -> jax.Array:
+    """Inverse-CDF sampling of `n_samples` new z values per ray
+    (reference nerf/renderer.py:19-53). Returns [B, n_samples]."""
+    B, T = bins.shape
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [B, T]
+
+    if det:
+        u = jnp.linspace(0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples)
+        u = jnp.broadcast_to(u, (B, n_samples))
+    else:
+        assert key is not None
+        u = jax.random.uniform(key, (B, n_samples))
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, T - 1)
+
+    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_hi = jnp.take_along_axis(cdf, above, axis=-1)
+    bin_lo = jnp.take_along_axis(bins, below, axis=-1)
+    bin_hi = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_hi - cdf_lo
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_lo) / denom
+    return bin_lo + t * (bin_hi - bin_lo)
+
+
+def stratified_zs(
+    key: Optional[jax.Array],
+    near: jax.Array,       # [R, 1]
+    far: jax.Array,        # [R, 1]
+    n_steps: int,
+    perturb: bool = False,
+) -> jax.Array:
+    """Uniform (optionally jittered) samples in [near, far]; [R, n_steps].
+
+    Matches the vanilla path's init + perturb (reference renderer.py:600-610):
+    jitter is +/- half a step, and samples may exceed [near, far] slightly.
+    """
+    R = near.shape[0]
+    z = jnp.linspace(0.0, 1.0, n_steps)[None, :]             # [1, S]
+    z = near + (far - near) * z                               # [R, S]
+    step = (far - near) / n_steps                             # [R, 1]
+    if perturb:
+        assert key is not None
+        z = z + (jax.random.uniform(key, (R, n_steps)) - 0.5) * step
+    return z

@@ -1,0 +1,249 @@
+"""NeRF field networks (grid + vanilla backbones).
+
+TPU-native re-implementation of /root/reference/nerf/network_grid.py and
+/root/reference/nerf/network.py as Flax modules:
+
+  * grid backbone: multires hash encoding (ops/hashgrid.py) → 3×64 ReLU MLP
+    → (σ, albedo); normals by central finite differences (6 extra encoder+MLP
+    passes, network_grid.py:81-96).
+  * vanilla backbone: frequency encoding (multires 12) → 5×64 ResBlock MLP;
+    normals by autodiff of σ wrt x — `jax.grad` replaces the reference's
+    double-backward `torch.autograd.grad` (network.py:149-162).
+  * density blob bias at the origin added pre-activation with stopped
+    gradient (renderer.py:338-349 is decorated @no_grad).
+  * background MLP on normalized ray dirs with frequency encoding
+    (network_grid.py:144-153).
+
+Params are fp32; activations run in the configured compute dtype (bf16 by
+default) except σ/normal paths which stay fp32 (the reference likewise pins
+them fp32 via autocast(enabled=False)).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.math import safe_normalize
+from ..ops.activation import density_activation
+from ..ops.freq import freq_encode, freq_encode_dim
+from ..ops.hashgrid import HashGridSpec, hash_encode, init_hashgrid
+
+SHADING_ALBEDO = 0
+SHADING_LAMBERTIAN = 1
+SHADING_TEXTURELESS = 2
+SHADING_NORMAL = 3
+
+SHADING_IDS = {
+    "albedo": SHADING_ALBEDO,
+    "lambertian": SHADING_LAMBERTIAN,
+    "textureless": SHADING_TEXTURELESS,
+    "normal": SHADING_NORMAL,
+}
+
+
+class BasicMLP(nn.Module):
+    """Linear→ReLU stack with a plain final layer (network_grid.py:13-32)."""
+    dim_out: int
+    dim_hidden: int
+    num_layers: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for l in range(self.num_layers):
+            last = l == self.num_layers - 1
+            x = nn.Dense(self.dim_out if last else self.dim_hidden,
+                         dtype=self.dtype, name=f"dense_{l}")(x)
+            if not last:
+                x = nn.relu(x)
+        return x
+
+
+class ResBlock(nn.Module):
+    """Linear → LayerNorm → (+skip) → SiLU (network.py:14-42)."""
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim_out, dtype=self.dtype, name="dense")(x)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm")(h)
+        if x.shape[-1] != self.dim_out:
+            x = nn.Dense(self.dim_out, use_bias=False, dtype=self.dtype,
+                         name="skip")(x)
+        return nn.silu(h + x)
+
+
+class ResMLP(nn.Module):
+    """BasicBlock → ResBlock* → Linear (network.py:61-85)."""
+    dim_out: int
+    dim_hidden: int
+    num_layers: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Dense(self.dim_hidden, dtype=self.dtype, name="dense_0")(x))
+        for l in range(1, self.num_layers - 1):
+            x = ResBlock(self.dim_hidden, dtype=self.dtype, name=f"res_{l}")(x)
+        return nn.Dense(self.dim_out, dtype=self.dtype,
+                        name=f"dense_{self.num_layers - 1}")(x)
+
+
+class NeRFField(nn.Module):
+    backbone: str = "grid"                 # grid | vanilla
+    bound: float = 1.0
+    hidden_dim: int = 64
+    num_layers: int = 3
+    hidden_dim_bg: int = 32
+    num_layers_bg: int = 2
+    bg_radius: float = 1.4
+    density_act: str = "exp"
+    blob_density: float = 5.0
+    blob_radius: float = 0.2
+    grid_levels: int = 16
+    grid_features_per_level: int = 2
+    grid_log2_hashmap_size: int = 19
+    grid_desired_resolution: int = 2048
+    grid_interpolation: str = "smoothstep"
+    freq_multires: int = 12                # vanilla main encoding
+    freq_multires_bg: int = 6              # bg encoding (network_grid.py:62)
+    vanilla_num_layers: int = 5
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        if self.backbone == "grid":
+            self.grid_spec = HashGridSpec(
+                num_levels=self.grid_levels,
+                level_dim=self.grid_features_per_level,
+                log2_hashmap_size=self.grid_log2_hashmap_size,
+                desired_resolution=int(self.grid_desired_resolution * self.bound),
+                interpolation=self.grid_interpolation,
+            )
+            self.grid_table = self.param(
+                "grid_table",
+                lambda key: init_hashgrid(key, self.grid_spec),
+            )
+            in_dim = self.grid_spec.output_dim
+            self.sigma_net = BasicMLP(4, self.hidden_dim, self.num_layers,
+                                      dtype=self.compute_dtype, name="sigma_net")
+        elif self.backbone == "vanilla":
+            in_dim = freq_encode_dim(3, self.freq_multires)
+            self.sigma_net = ResMLP(4, self.hidden_dim, self.vanilla_num_layers,
+                                    dtype=self.compute_dtype, name="sigma_net")
+        else:
+            raise ValueError(f"unknown backbone {self.backbone!r}")
+
+        if self.bg_radius > 0:
+            self.bg_net = BasicMLP(3, self.hidden_dim_bg, self.num_layers_bg,
+                                   dtype=self.compute_dtype, name="bg_net")
+
+        self._density_act = density_activation(self.density_act)
+
+    # -- encoding ---------------------------------------------------------
+    def encode(self, x: jax.Array, max_level: Optional[jax.Array]) -> jax.Array:
+        if self.backbone == "grid":
+            u = (x + self.bound) / (2 * self.bound)     # [0, 1] (grid.py:160)
+            return hash_encode(u, self.grid_table, self.grid_spec,
+                               max_level=max_level,
+                               out_dtype=self.compute_dtype)
+        return freq_encode(x, self.freq_multires, max_level=max_level).astype(
+            self.compute_dtype
+        )
+
+    def density_blob(self, x: jax.Array) -> jax.Array:
+        """Gaussian (exp act) / linear (softplus act) density bias at the
+        origin (renderer.py:338-349); gradient stopped to match @no_grad."""
+        d = jnp.sum(x * x, axis=-1)
+        if self.density_act == "exp":
+            g = self.blob_density * jnp.exp(-d / (2 * self.blob_radius ** 2))
+        else:
+            g = self.blob_density * (1 - jnp.sqrt(d) / self.blob_radius)
+        return jax.lax.stop_gradient(g)
+
+    def common(self, x: jax.Array,
+               max_level: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
+        """x [N,3] in [-bound, bound] → (sigma [N], albedo [N,3])."""
+        h = self.sigma_net(self.encode(x, max_level)).astype(jnp.float32)
+        sigma = self._density_act(h[..., 0] + self.density_blob(x))
+        albedo = jax.nn.sigmoid(h[..., 1:])
+        return sigma, albedo
+
+    def density(self, x: jax.Array, max_level: Optional[jax.Array] = None):
+        sigma, albedo = self.common(x, max_level)
+        return {"sigma": sigma, "albedo": albedo}
+
+    # -- normals ----------------------------------------------------------
+    def normal(self, x: jax.Array,
+               max_level: Optional[jax.Array] = None,
+               eps: float = 1e-2) -> jax.Array:
+        if self.backbone == "grid":
+            n = self._finite_difference_normal(x, max_level, eps)
+        else:
+            n = self._autograd_normal(x, max_level)
+        n = safe_normalize(n)
+        return jnp.nan_to_num(n)
+
+    def _finite_difference_normal(self, x, max_level, eps):
+        """Central differences of σ; 6 probe passes batched into one network
+        evaluation (the reference runs 6 sequential passes,
+        network_grid.py:81-96 — batching keeps the MXU fed)."""
+        offsets = jnp.concatenate([jnp.eye(3) * eps, -jnp.eye(3) * eps], axis=0)  # [6,3]
+        probes = jnp.clip(x[None, :, :] + offsets[:, None, :],
+                          -self.bound, self.bound)              # [6, N, 3]
+        flat = probes.reshape(-1, 3)
+        sigma, _ = self.common(flat, max_level)
+        sigma = sigma.reshape(6, -1)
+        grad = (sigma[0:3] - sigma[3:6]) * (0.5 / eps)           # [3, N]
+        return -grad.T
+
+    def _autograd_normal(self, x, max_level):
+        """-∇σ via jax.grad (reference network.py:149-162 uses
+        torch.autograd.grad with create_graph)."""
+        def sigma_sum(pts):
+            s, _ = self.common(pts, max_level)
+            return jnp.sum(s)
+        return -jax.grad(sigma_sum)(x)
+
+    # -- full forward ------------------------------------------------------
+    def __call__(self, x: jax.Array, d: jax.Array,
+                 light_d: Optional[jax.Array] = None,
+                 ratio: jax.Array | float = 1.0,
+                 shading: jax.Array | int = SHADING_ALBEDO,
+                 max_level: Optional[jax.Array] = None):
+        """x [N,3], d [N,3] → (sigma [N], color [N,3], normal [N,3] or None).
+
+        `shading` may be a *traced* int (so the per-step stochastic shading
+        schedule stays inside jit); all shading modes are computed from one
+        normal query and selected with `where` — only `albedo` skips the
+        normal probes, chosen statically when shading is a Python int.
+        """
+        static_albedo = isinstance(shading, int) and shading == SHADING_ALBEDO
+        sigma, albedo = self.common(x, max_level)
+        if static_albedo:
+            return sigma, albedo, None
+
+        normal = self.normal(x, max_level)
+        lam = ratio + (1 - ratio) * jnp.maximum(
+            jnp.sum(normal * light_d, axis=-1), 0.0
+        )                                                        # [N]
+        color_lamb = albedo * lam[..., None]
+        color_tex = jnp.broadcast_to(lam[..., None], albedo.shape)
+        color_norm = (normal + 1.0) / 2.0
+        shading = jnp.asarray(shading)
+        color = jnp.where(
+            shading == SHADING_ALBEDO, albedo,
+            jnp.where(shading == SHADING_TEXTURELESS, color_tex,
+                      jnp.where(shading == SHADING_NORMAL, color_norm, color_lamb)),
+        )
+        return sigma, color, normal
+
+    def background(self, d: jax.Array, max_level: Optional[jax.Array] = None):
+        """Background color from ray direction (network_grid.py:144-153)."""
+        enc = freq_encode(d, self.freq_multires_bg).astype(self.compute_dtype)
+        h = self.bg_net(enc).astype(jnp.float32)
+        return jax.nn.sigmoid(h)

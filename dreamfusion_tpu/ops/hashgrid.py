@@ -1,0 +1,234 @@
+"""Multiresolution hash-grid encoding (instant-NGP).
+
+TPU-native equivalent of the `gridencoder` CUDA extension
+(/root/reference/gridencoder/src/gridencoder.cu, wrapper gridencoder/grid.py).
+Semantics matched:
+
+  * L levels, C features/level, per-level resolution res_l =
+    ceil(base * scale^l), table size min(2^log2_T, res_l^D).
+  * tiled (stride) indexing while res_l^D fits the table, xor-prime
+    `fast_hash` otherwise (gridencoder.cu:46-79), uint32 wraparound included.
+  * align_corners on/off, linear or smoothstep interpolation
+    (gridencoder.cu:139-161), out-of-[0,1] inputs produce zeros.
+  * progressive `max_level` masking (grid.py:40,62) — here a *traced* scalar
+    so level schedules stay inside jit.
+
+Design: instead of one CUDA thread per (point, level) with atomicAdd
+gradients, each level is a dense gather of 2^D corners over the whole point
+batch; XLA's gather VJP is a deterministic scatter-add (no atomics, no
+nondeterminism).  The Python loop over the 16 levels unrolls at trace time.
+A Pallas kernel for the fused gather+interp lives in hashgrid_pallas.py.
+
+The embedding table stays fp32 (hash tables are tiny vs HBM but gradients
+are sparse and benefit from fp32 accumulation); outputs are cast to the
+requested compute dtype.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
+
+
+@dataclass(frozen=True)
+class HashGridSpec:
+    input_dim: int = 3
+    num_levels: int = 16
+    level_dim: int = 2
+    base_resolution: int = 16
+    log2_hashmap_size: int = 19
+    desired_resolution: Optional[int] = 2048
+    per_level_scale: float = 2.0
+    gridtype: str = "hash"           # hash | tiled
+    align_corners: bool = False
+    interpolation: str = "linear"    # linear | smoothstep
+
+    @property
+    def scale(self) -> float:
+        if self.desired_resolution is not None:
+            return 2.0 ** (
+                math.log2(self.desired_resolution / self.base_resolution)
+                / (self.num_levels - 1)
+            )
+        return self.per_level_scale
+
+    @property
+    def resolutions(self) -> Tuple[int, ...]:
+        return tuple(
+            int(np.ceil(self.base_resolution * self.scale ** l))
+            for l in range(self.num_levels)
+        )
+
+    @property
+    def level_sizes(self) -> Tuple[int, ...]:
+        max_params = 2 ** self.log2_hashmap_size
+        return tuple(
+            min(max_params, r ** self.input_dim) for r in self.resolutions
+        )
+
+    @property
+    def offsets(self) -> Tuple[int, ...]:
+        off = [0]
+        for s in self.level_sizes:
+            off.append(off[-1] + s)
+        return tuple(off)
+
+    @property
+    def table_size(self) -> int:
+        return self.offsets[-1]
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.level_dim
+
+
+def init_hashgrid(key: jax.Array, spec: HashGridSpec,
+                  scale: float = 1e-4) -> jax.Array:
+    """Uniform(-1e-4, 1e-4) init (reference grid.py:146-148)."""
+    return jax.random.uniform(
+        key, (spec.table_size, spec.level_dim), minval=-scale, maxval=scale,
+        dtype=jnp.float32,
+    )
+
+
+def _level_index(pos_grid: jax.Array, res: int, hashmap_size: int,
+                 gridtype: str) -> jax.Array:
+    """pos_grid: [..., D] uint32 lattice coords → flat table index [...].
+
+    Static decision between stride and hash indexing per level (the CUDA
+    kernel decides with `stride <= hashmap_size` mid-loop,
+    gridencoder.cu:62-79)."""
+    D = pos_grid.shape[-1]
+    pg = pos_grid.astype(jnp.uint32)
+    index = jnp.zeros(pos_grid.shape[:-1], dtype=jnp.uint32)
+    stride = 1
+    for d in range(D):
+        if stride > hashmap_size:
+            break
+        index = index + pg[..., d] * jnp.uint32(stride % (1 << 32))
+        stride *= res
+    if gridtype == "hash" and stride > hashmap_size:
+        index = jnp.zeros(pos_grid.shape[:-1], dtype=jnp.uint32)
+        for d in range(D):
+            index = index ^ (pg[..., d] * jnp.uint32(_PRIMES[d]))
+    return (index % jnp.uint32(hashmap_size)).astype(jnp.int32)
+
+
+def hash_encode(
+    x: jax.Array,                     # [N, D] in [0, 1]
+    table: jax.Array,                 # [table_size, C] fp32
+    spec: HashGridSpec,
+    max_level: Optional[jax.Array] = None,   # traced scalar in [0, 1]
+    out_dtype=None,
+) -> jax.Array:
+    """Forward encoding: [N, D] → [N, L*C]."""
+    N, D = x.shape
+    C = spec.level_dim
+    L = spec.num_levels
+    xf = x.astype(jnp.float32)
+
+    oob = jnp.any((xf < 0.0) | (xf > 1.0), axis=-1, keepdims=True)  # [N, 1]
+
+    if max_level is not None:
+        # reference: max(min(ceil(frac*L), L), 1) active levels (grid.py:40)
+        n_active = jnp.clip(jnp.ceil(max_level * L), 1, L)
+    else:
+        n_active = None
+
+    outs: List[jax.Array] = []
+    for l in range(L):
+        res = spec.resolutions[l]
+        hsize = spec.level_sizes[l]
+        off = spec.offsets[l]
+
+        if spec.align_corners:
+            pos = xf * (res - 1)
+            pos_grid = jnp.clip(jnp.floor(pos), 0, max(res - 2, 0))
+        else:
+            pos = jnp.clip(xf * res - 0.5, 0.0, res - 1)
+            pos_grid = jnp.floor(pos)
+        frac = pos - pos_grid
+        if spec.interpolation == "smoothstep":
+            w_frac = frac * frac * (3.0 - 2.0 * frac)
+        else:
+            w_frac = frac
+        base = pos_grid.astype(jnp.uint32)                      # [N, D]
+
+        level_out = jnp.zeros((N, C), dtype=jnp.float32)
+        for corner in range(1 << D):
+            sel = jnp.asarray(
+                [(corner >> d) & 1 for d in range(D)], dtype=jnp.uint32
+            )
+            pg = jnp.minimum(base + sel, jnp.uint32(res - 1))   # [N, D]
+            w = jnp.prod(
+                jnp.where(sel.astype(bool), w_frac, 1.0 - w_frac), axis=-1
+            )                                                   # [N]
+            idx = _level_index(pg, res, hsize, spec.gridtype)   # [N]
+            vals = table[off + idx]                             # gather [N, C]
+            level_out = level_out + w[:, None] * vals
+
+        if n_active is not None:
+            level_out = level_out * (l < n_active).astype(level_out.dtype)
+        outs.append(level_out)
+
+    out = jnp.concatenate(outs, axis=-1)                         # [N, L*C]
+    out = jnp.where(oob, 0.0, out)
+    if out_dtype is not None:
+        out = out.astype(out_dtype)
+    return out
+
+
+def hashgrid_tv_loss(
+    key: jax.Array,
+    table: jax.Array,
+    spec: HashGridSpec,
+    n_samples: int = 4096,
+    bound: float = 1.0,
+) -> jax.Array:
+    """Total-variation regularizer on the hash grid.
+
+    Reference injects a TV *gradient* directly at sampled lattice sites
+    (gridencoder.cu:526-668, grid.py:172-193); here we express the same
+    regularizer as a differentiable loss: squared differences between
+    neighboring lattice entries around uniformly sampled cells, per level.
+    """
+    D = spec.input_dim
+    total = jnp.zeros((), dtype=jnp.float32)
+    keys = jax.random.split(key, spec.num_levels)
+    for l in range(spec.num_levels):
+        res = spec.resolutions[l]
+        hsize = spec.level_sizes[l]
+        off = spec.offsets[l]
+        cells = jax.random.randint(keys[l], (n_samples, D), 0, max(res - 1, 1))
+        cells = cells.astype(jnp.uint32)
+        idx0 = _level_index(cells, res, hsize, spec.gridtype)
+        v0 = table[off + idx0]
+        lvl = jnp.zeros((), dtype=jnp.float32)
+        for d in range(D):
+            nb = cells.at[:, d].add(jnp.uint32(1))
+            nb = jnp.minimum(nb, jnp.uint32(res - 1))
+            idx1 = _level_index(nb, res, hsize, spec.gridtype)
+            v1 = table[off + idx1]
+            lvl = lvl + jnp.mean(jnp.sum((v1 - v0) ** 2, axis=-1))
+        total = total + lvl / D
+    return total / spec.num_levels
+
+
+def hashgrid_wd_loss(table: jax.Array, spec: HashGridSpec) -> jax.Array:
+    """Level-meaned weight decay (reference gridencoder.cu:671-707,
+    grid.py:195-206): each level's L2 norm normalized by its table size so
+    small coarse levels are not over-penalized relative to big fine ones."""
+    total = jnp.zeros((), dtype=jnp.float32)
+    for l in range(spec.num_levels):
+        off, size = spec.offsets[l], spec.level_sizes[l]
+        lvl = table[off:off + size]
+        total = total + jnp.sum(lvl * lvl) / size
+    return 0.5 * total / spec.num_levels

@@ -1,0 +1,160 @@
+"""Occupancy (density) grid: query, update, and TPU-native ray marching.
+
+This replaces the `raymarching` CUDA extension's occupancy machinery
+(/root/reference/raymarching/src/raymarching.cu:338-475 `kernel_march_rays_train`
+and the grid maintenance in /root/reference/nerf/renderer.py:1102-1149).
+
+The CUDA design is inherently dynamic: every ray walks voxels one at a time,
+skipping empty space, and an atomic counter allocates the exact number of
+surviving samples (M = counter.item() — a GPU→CPU sync the reference itself
+pays every step, raymarching/raymarching.py:245).  XLA requires static
+shapes, so we redesign rather than translate:
+
+  1. *probe*: S0 cheap, uniformly spaced occupancy lookups per ray
+     (pure gather on the [cascade, G, G, G] bool grid — no MLP);
+  2. *resample*: the boolean probe profile becomes a piecewise-constant PDF
+     and `sample_pdf` places the S network samples inside occupied
+     intervals (inverse-CDF, same machinery as the vanilla upsample pass).
+
+This concentrates MLP evaluations in occupied space exactly like empty-space
+skipping, but with fixed [R, S] shapes that keep the MXU busy.  A `mask`
+mode (zero out unoccupied samples, no resampling) is also provided.
+
+Grid maintenance matches the reference: per-cascade 128^3 density queries at
+jittered cell centers, EMA-max decay 0.95, threshold min(mean_density,
+density_thresh) — all inside jit (the reference runs it in no_grad chunks).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.sampling import sample_pdf
+
+
+def mip_from_pos(xyz: jax.Array, cascade: int) -> jax.Array:
+    """Smallest cascade whose [-2^c, 2^c] box contains the point
+    (reference raymarching.cu mip_from_pos). Returns int32 [N]."""
+    mx = jnp.max(jnp.abs(xyz), axis=-1)
+    # exponent such that 2^c >= mx  →  c = ceil(log2(mx)) for mx > 1 else 0
+    c = jnp.ceil(jnp.log2(jnp.maximum(mx, 1e-8)))
+    return jnp.clip(c, 0, cascade - 1).astype(jnp.int32)
+
+
+def occupancy_lookup(
+    occ_grid: jax.Array,   # [cascade, G, G, G] bool
+    xyz: jax.Array,        # [..., 3]
+    bound: float,
+) -> jax.Array:
+    """Query the multi-cascade occupancy grid at world positions → bool [...]."""
+    cascade, G = occ_grid.shape[0], occ_grid.shape[1]
+    mip = mip_from_pos(xyz, cascade)
+    mip_bound = jnp.minimum(jnp.exp2(mip.astype(jnp.float32)), bound)[..., None]
+    # world [-mb, mb] → cell [0, G)
+    cell = jnp.floor((xyz / mip_bound * 0.5 + 0.5) * G).astype(jnp.int32)
+    cell = jnp.clip(cell, 0, G - 1)
+    inside = jnp.all(jnp.abs(xyz) <= bound, axis=-1)
+    occ = occ_grid[mip, cell[..., 0], cell[..., 1], cell[..., 2]]
+    return occ & inside
+
+
+class MarchOut(NamedTuple):
+    z_vals: jax.Array    # [R, S] sample distances along each ray
+    deltas: jax.Array    # [R, S]
+    mask: jax.Array      # [R, S] bool — False for padded / empty samples
+
+
+def march_rays_occupancy(
+    key: Optional[jax.Array],
+    rays_o: jax.Array,      # [R, 3]
+    rays_d: jax.Array,      # [R, 3]
+    near: jax.Array,        # [R, 1]
+    far: jax.Array,         # [R, 1]
+    occ_grid: jax.Array,    # [cascade, G, G, G] bool
+    bound: float,
+    n_probe: int = 128,
+    n_fine: int = 128,
+    perturb: bool = False,
+    mode: str = "resample",   # resample | mask
+) -> MarchOut:
+    """Occupancy-guided static-shape ray marching (see module docstring)."""
+    R = rays_o.shape[0]
+    # probe at interval midpoints
+    edges = jnp.linspace(0.0, 1.0, n_probe + 1)
+    z_edges = near + (far - near) * edges[None, :]               # [R, S0+1]
+    z_mid = 0.5 * (z_edges[:, 1:] + z_edges[:, :-1])             # [R, S0]
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_mid[..., None]
+    occ = occupancy_lookup(occ_grid, pts, bound)                 # [R, S0] bool
+
+    if mode == "mask":
+        deltas = z_edges[:, 1:] - z_edges[:, :-1]
+        return MarchOut(z_mid, deltas, occ)
+
+    # piecewise-constant PDF over probe intervals; tiny floor keeps rays with
+    # no occupied voxels well-defined (their weights_sum will be ~0 anyway)
+    pdf_w = occ.astype(jnp.float32) + 1e-3
+    any_occ = jnp.any(occ, axis=-1, keepdims=True)
+    z = sample_pdf(key, z_edges, pdf_w, n_fine, det=not perturb)  # [R, S]
+    z = jnp.sort(z, axis=-1)
+    deltas = jnp.diff(z, axis=-1)
+    mean_dt = (far - near) / n_fine
+    deltas = jnp.concatenate([deltas, mean_dt], axis=-1)
+    # mark all-empty rays so the network is still evaluated on valid coords
+    # but compositing gives them zero weight via the occupancy of the samples
+    sample_occ = occupancy_lookup(
+        occ_grid, rays_o[:, None, :] + rays_d[:, None, :] * z[..., None], bound
+    )
+    return MarchOut(z, deltas, sample_occ & any_occ)
+
+
+# ---------------------------------------------------------------------------
+# Density-grid maintenance (reference nerf/renderer.py:1102-1149)
+# ---------------------------------------------------------------------------
+
+def grid_cell_centers(grid_size: int) -> jax.Array:
+    """[G^3, 3] cell-center coords in [-1, 1] raster order."""
+    ax = (2.0 * jnp.arange(grid_size, dtype=jnp.float32) / (grid_size - 1)) - 1.0
+    x, y, z = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    return jnp.stack([x.ravel(), y.ravel(), z.ravel()], axis=-1)
+
+
+def update_density_grid(
+    key: jax.Array,
+    density_grid: jax.Array,   # [cascade, G^3] fp32, -1 marks untrainable cells
+    density_fn,                # xyz [N,3] → sigma [N]
+    bound: float,
+    decay: float = 0.95,
+    density_thresh: float = 10.0,
+    grid_size: int = 128,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One EMA-max update. Returns (new_grid, mean_density, occ_bool_grid).
+
+    occ_bool_grid is [cascade, G, G, G] ready for `occupancy_lookup`.
+    """
+    cascade = density_grid.shape[0]
+    G = grid_size
+    base = grid_cell_centers(G)                                   # [G^3, 3]
+    keys = jax.random.split(key, cascade)
+
+    new_rows = []
+    for cas in range(cascade):
+        cas_bound = min(2 ** cas, bound)
+        half_cell = cas_bound / G
+        xyz = base * (cas_bound - half_cell)
+        jitter = (jax.random.uniform(keys[cas], xyz.shape) * 2.0 - 1.0) * half_cell
+        sigmas = density_fn(xyz + jitter).reshape(-1)             # [G^3]
+        new_rows.append(sigmas)
+    tmp = jnp.stack(new_rows, axis=0)                             # [cascade, G^3]
+
+    valid = density_grid >= 0
+    updated = jnp.where(valid, jnp.maximum(density_grid * decay, tmp), density_grid)
+    mean_density = jnp.sum(jnp.where(valid, updated, 0.0)) / jnp.maximum(
+        jnp.sum(valid), 1
+    )
+    thresh = jnp.minimum(mean_density, density_thresh)
+    occ = (updated > thresh).reshape(cascade, G, G, G)
+    return updated, mean_density, occ

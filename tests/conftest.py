@@ -1,0 +1,33 @@
+"""Test config: run everything on an 8-device virtual CPU mesh.
+
+This is the JAX-native way to exercise mesh/pjit logic without TPU hardware
+(the reference has no distributed tests at all — SURVEY.md §4).
+"""
+
+import os
+
+# Hard override: the container environment pins JAX_PLATFORMS=axon (remote
+# TPU tunnel); tests must run on local virtual CPU devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)

@@ -1,0 +1,129 @@
+"""Benchmark: fused SDS iterations/sec on the flagship configuration.
+
+Measures the full jitted train step — pose sampling, occupancy-grid NeRF
+render at the training resolution, VAE encode (with grad), real-size SD
+UNet CFG pass, SDS loss, backward, Adan update, EMA — on the attached TPU.
+Guidance weights are randomly initialized (no egress) but *architecture-
+and-size exact* for SD 2.1, so the measured step cost equals the real
+workload's.
+
+Baseline: the driver's north star (BASELINE.md) — 10k steps in <= 15 min
+on v5p-8, i.e. 11.11 it/s. vs_baseline = measured_it_s / 11.11 (values > 1
+beat the target; this machine has a single v5e-lite chip, ~1/8 of the
+north-star topology).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+BASELINE_IT_S = 10000.0 / (15.0 * 60.0)  # 11.11 it/s
+
+
+def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64):
+    import jax
+    import jax.numpy as jnp
+
+    from dreamfusion_tpu.config import Config, finalize
+    from dreamfusion_tpu.guidance.embeddings import prepare_text_embeddings
+    from dreamfusion_tpu.guidance.sd import SDConfig, StableDiffusionGuidance
+    from dreamfusion_tpu.training.trainer import Trainer
+
+    if smoke:
+        cfg = finalize(Config(
+            text="a hamburger", workspace="/tmp/dftpu_bench",
+            backbone="grid", w=16, h=16, latent_iter_ratio=0.0,
+            grid_levels=4, grid_log2_hashmap_size=8,
+            grid_desired_resolution=64, grid_size=32,
+            grid_coarse_steps=16, grid_fine_steps=16,
+            hidden_dim=16, num_layers=2, fp16=False, seed=0,
+            lambda_3d_normal_smooth=0.0,
+        ))
+        sdc = SDConfig(tiny=True, image_size=16, latent_size=8)
+        steps = min(steps, 5)
+    else:
+        cfg = finalize(Config(
+            text="a highly detailed hamburger", workspace="/tmp/dftpu_bench",
+            backbone="grid", w=render_hw, h=render_hw,
+            latent_iter_ratio=0.0, fp16=True, seed=0,
+            lambda_3d_normal_smooth=0.0,
+        ))
+        sdc = SDConfig(sd_version="2.1")
+
+    import sys
+    def note(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    key = jax.random.PRNGKey(0)
+    g = StableDiffusionGuidance(sdc)
+    note("init guidance params...")
+    gp = g.init_params(key)
+    if not smoke:
+        # frozen guidance in bf16 (reference runs fp16 guidance, main.py:172)
+        gp = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, gp)
+    emb = prepare_text_embeddings(g, gp, cfg.text)
+    emb = {k: v.astype(jnp.float32) for k, v in emb.items()}
+
+    tr = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gp},
+                 embeddings={"SD": emb})
+    note("init NeRF state...")
+    state = tr.init_state(key)
+    step_fn = tr._make_train_step("main")
+    update_grid = tr._make_update_grid()
+
+    # warmup/compile
+    import time as _t
+    t = _t.time()
+    note("compiling density-grid update...")
+    state = update_grid(state, jax.random.PRNGKey(1))
+    jax.block_until_ready(state.mean_density)
+    note(f"grid update compiled+ran in {_t.time()-t:.1f}s")
+    t = _t.time()
+    note("compiling fused train step...")
+    state, metrics = step_fn(state, jax.random.PRNGKey(2))
+    jax.block_until_ready(metrics["loss"])
+    note(f"train step compiled+ran in {_t.time()-t:.1f}s")
+
+    t0 = time.time()
+    for i in range(steps):
+        if i % cfg.update_extra_interval == 0:
+            state = update_grid(state, jax.random.PRNGKey(100 + i))
+        state, metrics = step_fn(state, jax.random.PRNGKey(200 + i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.time() - t0
+    it_s = steps / dt
+    return it_s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny CPU-runnable variant")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--hw", type=int, default=64)
+    args = ap.parse_args()
+
+    if args.smoke:
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    it_s = run_bench(smoke=args.smoke, steps=args.steps, render_hw=args.hw)
+    print(json.dumps({
+        "metric": "sds_iterations_per_sec",
+        "value": round(it_s, 3),
+        "unit": "it/s",
+        "vs_baseline": round(it_s / BASELINE_IT_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -77,14 +77,19 @@ def rand_poses(
     jitter_target: float = 0.2,
     jitter_up: float = 0.02,
 ) -> PoseBatch:
-    """Random orbit poses (reference nerf/provider.py:73-149). Angles in deg."""
+    """Random orbit poses (reference nerf/provider.py:73-149). Angles in deg.
+
+    Ranges may be Python floats or traced jnp scalars (the progressive-view
+    schedule feeds traced ranges from inside jit)."""
     k_r, k_u, k_th, k_ph, k_sph, k_jc, k_jt, k_ju = jax.random.split(key, 8)
-    th_lo, th_hi = (math.radians(a) for a in theta_range)
-    ph_lo, ph_hi = (math.radians(a) for a in phi_range)
+    th_lo, th_hi = (jnp.deg2rad(jnp.asarray(a, jnp.float32)) for a in theta_range)
+    ph_lo, ph_hi = (jnp.deg2rad(jnp.asarray(a, jnp.float32)) for a in phi_range)
     overhead = math.radians(angle_overhead)
     front = math.radians(angle_front)
 
-    radius = jax.random.uniform(k_r, (size,), minval=radius_range[0], maxval=radius_range[1])
+    radius = jax.random.uniform(
+        k_r, (size,), minval=jnp.asarray(radius_range[0], jnp.float32),
+        maxval=jnp.asarray(radius_range[1], jnp.float32))
 
     # stratified-orbit branch
     thetas_o = jax.random.uniform(k_th, (size,), minval=th_lo, maxval=th_hi)

@@ -73,8 +73,11 @@ class StableDiffusionGuidance:
     # ---- init (random weights; real weights via guidance/weights.py) ----
     def init_params(self, key: jax.Array) -> Dict[str, Any]:
         ku, kv, kt = jax.random.split(key, 3)
-        ls = 8 if self.cfg.tiny else self.cfg.latent_size
+        ls = self.cfg.latent_size
         ims = ls * self.vae.cfg.downscale
+        assert ims == self.cfg.image_size, (
+            f"image_size {self.cfg.image_size} must equal latent_size*"
+            f"{self.vae.cfg.downscale}")
         ctx = self.unet.cfg.context_dim
         tl = self.text_encoder.cfg.max_len
         unet_p = self.unet.init(

@@ -1,0 +1,216 @@
+"""CLI entry point.
+
+Mirrors /root/reference/main.py's flag surface (argparse with `--file`
+args-file loading, `-O`/`-O2` presets, mode-dependent overrides) but routes
+everything through the immutable Config + pure preset functions
+(dreamfusion_tpu/config.py) instead of mutating a Namespace.
+
+Run: python -m dreamfusion_tpu.main --text "a hamburger" -O
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+from dataclasses import replace
+from typing import Any, Dict
+
+from .config import (Config, apply_IF, apply_O, apply_O2, apply_dmtet,
+                     apply_image_mode, apply_image_text_mode, finalize)
+
+
+class FileArgs(argparse.Action):
+    """`--file cfg.args` splices in args from a file (reference main.py:13-20)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        with open(values) as f:
+            extra = f.read().split()
+        parser.parse_args(extra, namespace)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("dreamfusion_tpu")
+    defaults = Config()
+    p.add_argument("--file", type=str, action=FileArgs, help="args file")
+    p.add_argument("--text", type=str, default=None)
+    p.add_argument("--negative", type=str, default="")
+    p.add_argument("-O", action="store_true",
+                   help="fp16 + grid backbone + occupancy marching")
+    p.add_argument("-O2", action="store_true",
+                   help="fp16 + vanilla backbone + progressive level")
+    p.add_argument("--IF", action="store_true", help="use DeepFloyd-IF")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--six_views", action="store_true")
+    p.add_argument("--save_mesh", action="store_true")
+    p.add_argument("--image", type=str, default=None)
+    p.add_argument("--image_config", type=str, default=None)
+    p.add_argument("--dmtet", action="store_true")
+    p.add_argument("--init_with", type=str, default="")
+    p.add_argument("--lock_geo", action="store_true")
+    p.add_argument("--perpneg", action="store_true")
+    p.add_argument("--dont_override_stuff", action="store_true")
+    p.add_argument("--tiny_guidance", action="store_true",
+                   help="random tiny guidance weights (smoke runs, no "
+                        "pretrained weights needed)")
+    p.add_argument("--gui", action="store_true",
+                   help="(not supported on TPU pods; renders turntable "
+                        "video instead)")
+
+    # all scalar/tuple config fields become flags automatically
+    skip = {"text", "negative", "guidance", "test", "six_views", "save_mesh",
+            "image", "image_config", "dmtet", "init_with", "lock_geo",
+            "perpneg", "dont_override_stuff", "mesh_shape", "mesh_axes"}
+    for f in dataclasses.fields(Config):
+        if f.name in skip:
+            continue
+        arg = f"--{f.name}"
+        if f.type == "bool" or isinstance(getattr(defaults, f.name), bool):
+            p.add_argument(arg, type=lambda s: s.lower() in ("1", "true", "yes"),
+                           default=None)
+        elif isinstance(getattr(defaults, f.name), tuple):
+            p.add_argument(arg, type=float, nargs="+", default=None)
+        elif isinstance(getattr(defaults, f.name), int):
+            p.add_argument(arg, type=int, default=None)
+        elif isinstance(getattr(defaults, f.name), float):
+            p.add_argument(arg, type=float, default=None)
+        else:
+            p.add_argument(arg, type=str, default=None)
+    p.add_argument("--guidance", type=str, nargs="*", default=None)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    cfg = Config()
+    overrides: Dict[str, Any] = {}
+    for f in dataclasses.fields(Config):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            if isinstance(getattr(cfg, f.name), tuple) and not isinstance(v, tuple):
+                v = tuple(v)
+            overrides[f.name] = v
+    cfg = replace(cfg, **overrides)
+
+    if args.O:
+        cfg = apply_O(cfg)
+    if args.O2:
+        cfg = apply_O2(cfg)
+    if args.IF:
+        cfg = apply_IF(cfg)
+    cfg = replace(cfg, perpneg=args.perpneg,
+                  dont_override_stuff=args.dont_override_stuff,
+                  test=args.test, six_views=args.six_views,
+                  save_mesh=args.save_mesh, image=args.image,
+                  image_config=args.image_config,
+                  init_with=args.init_with, lock_geo=args.lock_geo)
+    if args.image is not None and args.text is None:
+        cfg = apply_image_mode(cfg)
+    elif args.image is not None and args.text is not None:
+        cfg = apply_image_text_mode(cfg)
+    if args.dmtet:
+        cfg = apply_dmtet(cfg)
+    return finalize(cfg)
+
+
+def build_guidance(cfg: Config, tiny: bool = False):
+    """Instantiate guidance modules + params + embeddings
+    (reference main.py:378-394 + Trainer.prepare_embeddings)."""
+    import jax
+
+    from .guidance.embeddings import prepare_text_embeddings
+    from .guidance.sd import SDConfig, StableDiffusionGuidance
+
+    guidances, gparams, embeddings = {}, {}, {}
+    key = jax.random.PRNGKey(cfg.seed or 0)
+
+    for name in cfg.guidance:
+        if name == "SD":
+            sdc = SDConfig(sd_version=cfg.sd_version, t_range=cfg.t_range,
+                           tiny=tiny,
+                           image_size=16 if tiny else 512,
+                           latent_size=8 if tiny else 64)
+            g = StableDiffusionGuidance(sdc)
+            p = g.load_pretrained(cfg.pretrained_root) if (
+                cfg.pretrained_root and not tiny and
+                hasattr(g, "load_pretrained")) else g.init_params(key)
+            guidances[name] = g
+            gparams[name] = p
+            embeddings[name] = prepare_text_embeddings(
+                g, p, cfg.text or "", cfg.negative, cfg.pretrained_root)
+        elif name == "IF":
+            from .guidance.deepfloyd import IFConfig, IFGuidance
+            g = IFGuidance(IFConfig(t_range=cfg.t_range, tiny=tiny))
+            p = g.init_params(key)
+            guidances[name] = g
+            gparams[name] = p
+            embeddings[name] = g.prepare_embeddings(p, cfg.text or "",
+                                                    cfg.negative)
+        elif name == "zero123":
+            from .guidance.zero123 import Zero123Config, Zero123Guidance
+            g = Zero123Guidance(Zero123Config(t_range=cfg.t_range, tiny=tiny))
+            p = g.init_params(key)
+            guidances[name] = g
+            gparams[name] = p
+            embeddings[name] = g.prepare_image_embeddings(p, cfg.image)
+        elif name == "clip":
+            from .guidance.clip import CLIPConfig, CLIPGuidance
+            g = CLIPGuidance(CLIPConfig(tiny=tiny))
+            p = g.init_params(key)
+            guidances[name] = g
+            gparams[name] = p
+            embeddings[name] = g.prepare_embeddings(p, cfg.text or "",
+                                                    cfg.image)
+    return guidances, gparams, embeddings
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    import jax
+
+    from .training.trainer import Trainer
+
+    if cfg.seed is not None:
+        import numpy as np
+        np.random.seed(cfg.seed)
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh()
+
+    needs_guidance = not cfg.test
+    guidances, gparams, embeddings = ({}, {}, {})
+    if needs_guidance:
+        guidances, gparams, embeddings = build_guidance(
+            cfg, tiny=args.tiny_guidance)
+
+    trainer = Trainer(cfg, guidances=guidances, guidance_params=gparams,
+                      embeddings=embeddings, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(cfg.seed or 0))
+    if cfg.ckpt != "scratch":
+        state, loaded = trainer.load_checkpoint(
+            state, cfg.ckpt if cfg.ckpt not in ("latest", "latest_model")
+            else "latest")
+        if loaded:
+            trainer.log(f"[INFO] resumed from step {trainer.global_step}")
+
+    if cfg.test:
+        trainer.test(state, six_views=cfg.six_views)
+        if cfg.save_mesh:
+            from .mesh.export import export_mesh
+            export_mesh(trainer, state,
+                        os.path.join(trainer.workspace, "mesh"))
+        return
+
+    state = trainer.train(state, max_steps=cfg.iters)
+    trainer.test(state)
+    if cfg.save_mesh:
+        from .mesh.export import export_mesh
+        export_mesh(trainer, state, os.path.join(trainer.workspace, "mesh"))
+
+
+if __name__ == "__main__":
+    main()

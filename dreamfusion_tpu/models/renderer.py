@@ -110,7 +110,7 @@ class NeRFRenderer(nn.Module):
         self, flags: RenderFlags,
         rays_o, rays_d, z_vals, deltas, mask,
         light_d, ambient_ratio, shading, max_level,
-        bg_color,
+        bg_color, use_bg_net=None,
     ) -> Dict[str, jax.Array]:
         R, S = z_vals.shape
         xyzs = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
@@ -131,7 +131,13 @@ class NeRFRenderer(nn.Module):
                              t_thresh=self.t_thresh, binarize=flags.binarize)
         image = out.image
 
-        if bg_color is None:
+        if use_bg_net is not None and self.bg_radius > 0:
+            # traced per-step choice between bg MLP and a given color
+            # (reference nerf/utils.py:529-534 picks one per step on the host)
+            assert bg_color is not None
+            bg_net_color = self.field.background(safe_normalize(rays_d))
+            bg_color = jnp.where(use_bg_net, bg_net_color, bg_color)
+        elif bg_color is None:
             if self.bg_radius > 0:
                 bg_color = self.field.background(safe_normalize(rays_d))
             else:
@@ -170,7 +176,7 @@ class NeRFRenderer(nn.Module):
         self, flags: RenderFlags,
         rays_o, rays_d,                 # [R, 3]
         light_d, ambient_ratio=1.0, shading=SHADING_ALBEDO,
-        bg_color=None, max_level=None,
+        bg_color=None, max_level=None, use_bg_net=None,
     ) -> Dict[str, jax.Array]:
         R = rays_o.shape[0]
         near, far = near_far_from_bound(rays_o, rays_d, self.bound,
@@ -207,7 +213,7 @@ class NeRFRenderer(nn.Module):
         deltas = compute_deltas(z_vals, sample_dist)
         return self._shade_and_composite(
             flags, rays_o, rays_d, z_vals, deltas, None,
-            light_d, ambient_ratio, shading, max_level, bg_color)
+            light_d, ambient_ratio, shading, max_level, bg_color, use_bg_net)
 
     # ---- occupancy-grid path (reference run_cuda, renderer.py:710-807) ----
     def render_grid(
@@ -215,7 +221,7 @@ class NeRFRenderer(nn.Module):
         rays_o, rays_d,                 # [R, 3]
         occ_grid,                       # [cascade, G, G, G] bool
         light_d, ambient_ratio=1.0, shading=SHADING_ALBEDO,
-        bg_color=None, max_level=None,
+        bg_color=None, max_level=None, use_bg_net=None,
     ) -> Dict[str, jax.Array]:
         near, far = near_far_from_bound(rays_o, rays_d, self.bound,
                                         kind="cube", min_near=self.min_near)
@@ -234,13 +240,15 @@ class NeRFRenderer(nn.Module):
         rays_o, rays_d,
         occ_grid=None,
         light_d=None, ambient_ratio=1.0, shading=SHADING_ALBEDO,
-        bg_color=None, max_level=None,
+        bg_color=None, max_level=None, use_bg_net=None,
     ) -> Dict[str, jax.Array]:
         """Dispatch (reference renderer.py:1154-1186). rays [R, 3] flat."""
         if light_d is None:
             light_d = safe_normalize(rays_o)
         if self.backbone == "grid" and occ_grid is not None:
             return self.render_grid(flags, rays_o, rays_d, occ_grid, light_d,
-                                    ambient_ratio, shading, bg_color, max_level)
+                                    ambient_ratio, shading, bg_color, max_level,
+                                    use_bg_net)
         return self.render_vanilla(flags, rays_o, rays_d, light_d,
-                                   ambient_ratio, shading, bg_color, max_level)
+                                   ambient_ratio, shading, bg_color, max_level,
+                                   use_bg_net)

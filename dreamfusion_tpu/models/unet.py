@@ -84,13 +84,17 @@ def timestep_embedding(t: jax.Array, dim: int,
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm(32) computed in fp32 (matches the reference stacks)."""
+    """GroupNorm(32) computed in fp32 (matches the reference stacks).
+    Falls back to fewer groups for tiny test channel counts."""
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         orig = x.dtype
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32)(
+        g = 32
+        while x.shape[-1] % g:
+            g //= 2
+        x = nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=jnp.float32)(
             x.astype(jnp.float32))
         return x.astype(orig)
 

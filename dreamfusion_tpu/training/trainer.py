@@ -1,0 +1,507 @@
+"""Trainer: the experiment harness.
+
+TPU-native re-design of /root/reference/nerf/utils.py:199-1348 (`Trainer`).
+Key structural differences from the reference:
+
+  * ONE jitted train step fuses pose sampling → rendering → SDS guidance →
+    regularizers → backward → Adan update → EMA (the reference crosses the
+    host boundary for the dataloader, the `.item()` syncs, the amp scaler
+    and the EMA update every step).  Two step variants are compiled: the
+    latent-warmup phase (normal-as-latent, utils.py:504-509) and the main
+    phase — the phase boundary is a Python-level step comparison.
+  * Gradient scaling (`torch.cuda.amp.GradScaler`, utils.py:287) is
+    unnecessary: bf16 has fp32's exponent range, so no scaler state exists.
+  * The density-grid EMA update (utils.py:1035-1037) is its own jitted
+    function, invoked every `update_extra_interval` steps.
+  * Checkpoints are orbax pytrees with latest/best rolling retention
+    (mirrors utils.py:1206-1334).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from dataclasses import replace
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..guidance.perpneg import adjust_text_embeddings, interpolate_view_embedding
+from ..guidance.sd import SDConfig, StableDiffusionGuidance
+from ..models.nerf import SHADING_IDS, SHADING_NORMAL
+from ..models.renderer import NeRFRenderer, RenderFlags
+from ..ops.hashgrid import hashgrid_tv_loss, hashgrid_wd_loss
+from ..ops.occupancy import update_density_grid
+from ..utils.image import colorize_depth, save_image, save_video
+from . import schedules
+from .data import CameraBatch, circle_view_batch, sample_train_batch, six_view_batch
+from .optimizer import build_optimizer
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    density_grid: jax.Array      # [cascade, G^3]
+    mean_density: jax.Array      # scalar
+    occ_grid: jax.Array          # [cascade, G, G, G] bool
+    step: jax.Array              # int32
+
+
+def build_renderer(cfg: Config) -> NeRFRenderer:
+    import jax.numpy as jnp
+    return NeRFRenderer(
+        backbone=cfg.backbone,
+        bound=cfg.bound,
+        min_near=cfg.min_near,
+        bg_radius=cfg.bg_radius,
+        density_act=cfg.density_activation,
+        blob_density=cfg.blob_density,
+        blob_radius=cfg.blob_radius,
+        num_steps=cfg.num_steps,
+        upsample_steps=cfg.upsample_steps,
+        grid_probe_steps=cfg.grid_coarse_steps,
+        grid_fine_steps=cfg.grid_fine_steps,
+        occupancy_mode=cfg.occupancy_mode,
+        hidden_dim=cfg.hidden_dim,
+        num_layers=cfg.num_layers,
+        hidden_dim_bg=cfg.hidden_dim_bg,
+        num_layers_bg=cfg.num_layers_bg,
+        grid_levels=cfg.grid_levels,
+        grid_features_per_level=cfg.grid_features_per_level,
+        grid_log2_hashmap_size=cfg.grid_log2_hashmap_size,
+        grid_desired_resolution=cfg.grid_desired_resolution,
+        grid_interpolation=cfg.grid_interpolation,
+        compute_dtype=jnp.bfloat16 if cfg.fp16 else jnp.float32,
+    )
+
+
+class Trainer:
+    def __init__(self, cfg: Config, guidances: Optional[Dict[str, Any]] = None,
+                 guidance_params: Optional[Dict[str, Any]] = None,
+                 embeddings: Optional[Dict[str, Dict[str, jax.Array]]] = None,
+                 workspace: Optional[str] = None, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.workspace = workspace or cfg.workspace
+        self.renderer = build_renderer(cfg)
+        self.optimizer = build_optimizer(cfg.optim, cfg.lr, cfg.iters,
+                                         cfg.backbone, cfg.grad_clip)
+        self.guidances = guidances or {}
+        self.guidance_params = guidance_params or {}
+        self.embeddings = embeddings or {}
+        self.global_step = 0
+        self.epoch = 0
+        self.stats: Dict[str, Any] = {"loss": [], "valid_loss": [],
+                                      "checkpoints": []}
+
+        os.makedirs(self.workspace, exist_ok=True)
+        os.makedirs(os.path.join(self.workspace, "checkpoints"), exist_ok=True)
+        os.makedirs(os.path.join(self.workspace, "validation"), exist_ok=True)
+        os.makedirs(os.path.join(self.workspace, "results"), exist_ok=True)
+        self.log_path = os.path.join(self.workspace, "log_df.txt")
+
+        self._train_step_main = None
+        self._train_step_latent = None
+        self._update_grid_fn = None
+        self._eval_fn = None
+
+    # ------------------------------------------------------------------
+    def log(self, msg: str):
+        print(msg, flush=True)
+        with open(self.log_path, "a") as f:
+            f.write(msg + "\n")
+
+    # ------------------------------------------------------------------
+    def init_state(self, key: jax.Array) -> TrainState:
+        cfg = self.cfg
+        H = W = 8  # shapes don't matter for init
+        ro = jnp.zeros((H * W, 3))
+        rd = jnp.ones((H * W, 3))
+        occ = jnp.ones((cfg.cascade, cfg.grid_size, cfg.grid_size,
+                        cfg.grid_size), bool)
+        variables = self.renderer.init(
+            {"params": key, "render": key}, RenderFlags(), ro, rd,
+            occ_grid=occ if cfg.backbone == "grid" else None,
+            method=self.renderer.render)
+        params = variables["params"]
+        opt_state = self.optimizer.init(params)
+        state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            ema_params=params,
+            density_grid=jnp.zeros((cfg.cascade, cfg.grid_size ** 3)),
+            mean_density=jnp.zeros(()),
+            occ_grid=occ,
+            step=jnp.zeros((), jnp.int32),
+        )
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate_tree
+            state = replicate_tree(self.mesh, state)
+        return state
+
+    # ------------------------------------------------------------------
+    # guidance loss over all configured priors (utils.py:594-686)
+    def _guidance_loss(self, key: jax.Array, pred_rgb: jax.Array,
+                       batch: CameraBatch, as_latent: bool) -> jax.Array:
+        cfg = self.cfg
+        loss = jnp.zeros(())
+        keys = jax.random.split(key, max(len(self.guidances), 1))
+        for i, (name, g) in enumerate(sorted(self.guidances.items())):
+            gp = self.guidance_params[name]
+            emb = self.embeddings[name]
+            if name in ("SD", "IF"):
+                B = pred_rgb.shape[0]
+                uncond = jnp.tile(emb["uncond"], (B, 1, 1))
+                if cfg.perpneg:
+                    pn = adjust_text_embeddings(
+                        emb, batch.delta_azimuth, cfg.negative_w,
+                        cfg.front_decay_factor, cfg.side_decay_factor)
+                    loss = loss + g.sds_loss_perpneg(
+                        gp, keys[i], pn.text_z, pn.weights, uncond, pred_rgb,
+                        guidance_scale=cfg.guidance_scale,
+                        as_latent=as_latent and name == "SD",
+                        grad_scale=cfg.lambda_guidance)
+                else:
+                    cond = interpolate_view_embedding(emb, batch.delta_azimuth)
+                    loss = loss + g.sds_loss(
+                        gp, keys[i], cond, uncond, pred_rgb,
+                        guidance_scale=cfg.guidance_scale,
+                        as_latent=as_latent and name == "SD",
+                        grad_scale=cfg.lambda_guidance)
+            elif name == "zero123":
+                loss = loss + g.sds_loss(
+                    gp, keys[i], emb, pred_rgb,
+                    batch.delta_polar, batch.delta_azimuth, batch.delta_radius,
+                    guidance_scale=cfg.guidance_scale, as_latent=as_latent,
+                    grad_scale=cfg.lambda_guidance)
+            elif name == "clip":
+                # azimuth-attenuated weight (utils.py:680-683)
+                w = 10.0 * (1.0 - jnp.abs(batch.delta_azimuth[0]) / 180.0) \
+                    * cfg.lambda_guidance
+                loss = loss + g.loss(gp, emb, pred_rgb, grad_scale=w)
+        return loss
+
+    # ------------------------------------------------------------------
+    def _make_train_step(self, phase: str):
+        """phase: 'latent' (normal-as-latent warmup) or 'main'."""
+        cfg = self.cfg
+        renderer = self.renderer
+        optimizer = self.optimizer
+        H, W = cfg.h, cfg.w
+        latent_phase = phase == "latent"
+
+        flags = RenderFlags(
+            perturb=True,
+            shading_static_albedo=False,
+            need_loss_orient=cfg.lambda_orient > 0 and not latent_phase,
+            need_normal_perturb=cfg.lambda_3d_normal_smooth > 0 and not latent_phase,
+            need_normal_image=(cfg.lambda_2d_normal_smooth > 0
+                               or cfg.lambda_normal > 0) and not latent_phase,
+        )
+
+        def loss_fn(params, state: TrainState, key: jax.Array):
+            k_batch, k_choice, k_render, k_guide, k_tv = jax.random.split(key, 5)
+            step = state.step
+            r_exp = schedules.iter_ratio(step, cfg.exp_start_iter or 0,
+                                         cfg.exp_end_iter or cfg.iters)
+
+            if cfg.progressive_view:
+                rr, tr, pr, fr = schedules.progressive_view_ranges(cfg, r_exp)
+            else:
+                rr = tr = pr = fr = None
+            batch = sample_train_batch(k_batch, cfg, H, W, rr, tr, pr, fr)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch
+                batch = shard_batch(self.mesh, batch)
+            choices = schedules.sample_step_choices(cfg, k_choice, r_exp)
+            max_level = schedules.encoder_max_level(cfg, r_exp)
+
+            B = batch.rays_o.shape[0]
+            ro = batch.rays_o.reshape(-1, 3)
+            rd = batch.rays_d.reshape(-1, 3)
+            # light: gaussian jitter around camera origin (renderer.py:586)
+            from ..core.math import safe_normalize
+            light_d = safe_normalize(ro + choices.light_noise)
+
+            if latent_phase:
+                ambient, shading = 1.0, SHADING_NORMAL
+                bg_color = choices.bg_color  # ignored when bg net selected
+                use_bg_net = jnp.asarray(False)
+            else:
+                ambient, shading = choices.ambient_ratio, choices.shading
+                bg_color = choices.bg_color
+                use_bg_net = choices.use_bg_net
+
+            bg = jnp.broadcast_to(bg_color, ro.shape)
+            out = renderer.apply(
+                {"params": params}, flags, ro, rd,
+                occ_grid=state.occ_grid if cfg.backbone == "grid" else None,
+                light_d=light_d, ambient_ratio=ambient, shading=shading,
+                bg_color=bg, max_level=max_level, use_bg_net=use_bg_net,
+                rngs={"render": k_render}, method=renderer.render)
+
+            image = out["image"].reshape(B, H, W, 3)
+            wsum = out["weights_sum"].reshape(B, H, W)
+            if latent_phase:
+                pred_rgb = jnp.concatenate([image, wsum[..., None]], axis=-1)
+            else:
+                pred_rgb = image
+
+            loss = self._guidance_loss(k_guide, pred_rgb, batch,
+                                       as_latent=latent_phase)
+            metrics = {"loss_sds": loss}
+
+            # regularizers (utils.py:687-713)
+            if cfg.lambda_opacity > 0:
+                loss = loss + cfg.lambda_opacity * jnp.mean(wsum ** 2)
+            if cfg.lambda_entropy > 0:
+                a = jnp.clip(out["weights"], 1e-5, 1 - 1e-5)
+                ent = jnp.mean(-a * jnp.log2(a) - (1 - a) * jnp.log2(1 - a))
+                loss = loss + schedules.lambda_entropy_at(cfg, step) * ent
+            if "loss_orient" in out:
+                loss = loss + cfg.lambda_orient * out["loss_orient"]
+            if "loss_normal_perturb" in out:
+                loss = loss + cfg.lambda_3d_normal_smooth * \
+                    out["loss_normal_perturb"]
+            if cfg.lambda_2d_normal_smooth > 0 and "normal_image" in out:
+                ni = out["normal_image"].reshape(B, H, W, 3)
+                sm = jnp.mean((ni[:, 1:] - ni[:, :-1]) ** 2) + \
+                    jnp.mean((ni[:, :, 1:] - ni[:, :, :-1]) ** 2)
+                loss = loss + cfg.lambda_2d_normal_smooth * sm
+
+            # hash-grid TV / weight decay as explicit losses
+            # (reference injects gradients post-backward, utils.py:735-741)
+            if cfg.backbone == "grid" and cfg.lambda_tv > 0:
+                spec = renderer.field_spec if hasattr(renderer, "field_spec") \
+                    else None
+                from ..ops.hashgrid import HashGridSpec
+                spec = HashGridSpec(
+                    num_levels=cfg.grid_levels,
+                    level_dim=cfg.grid_features_per_level,
+                    log2_hashmap_size=cfg.grid_log2_hashmap_size,
+                    desired_resolution=int(cfg.grid_desired_resolution * cfg.bound),
+                    interpolation=cfg.grid_interpolation)
+                table = params["field"]["grid_table"]
+                loss = loss + schedules.lambda_tv_at(cfg, step) * \
+                    hashgrid_tv_loss(k_tv, table, spec)
+            if cfg.backbone == "grid" and cfg.lambda_wd > 0:
+                from ..ops.hashgrid import HashGridSpec
+                spec = HashGridSpec(
+                    num_levels=cfg.grid_levels,
+                    level_dim=cfg.grid_features_per_level,
+                    log2_hashmap_size=cfg.grid_log2_hashmap_size,
+                    desired_resolution=int(cfg.grid_desired_resolution * cfg.bound),
+                    interpolation=cfg.grid_interpolation)
+                loss = loss + cfg.lambda_wd * hashgrid_wd_loss(
+                    params["field"]["grid_table"], spec)
+
+            metrics["loss"] = loss
+            return loss, metrics
+
+        @jax.jit
+        def train_step(state: TrainState, key: jax.Array):
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state, key)
+            updates, new_opt = self.optimizer.update(
+                grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            decay = self.cfg.ema_decay
+            new_ema = jax.tree.map(
+                lambda e, p: decay * e + (1 - decay) * p,
+                state.ema_params, new_params)
+            return state.replace(params=new_params, opt_state=new_opt,
+                                 ema_params=new_ema, step=state.step + 1), \
+                metrics
+
+        return train_step
+
+    # ------------------------------------------------------------------
+    def _make_update_grid(self):
+        cfg = self.cfg
+        renderer = self.renderer
+
+        @jax.jit
+        def update_grid(state: TrainState, key: jax.Array) -> TrainState:
+            def density_fn(x):
+                return renderer.apply({"params": state.params}, x,
+                                      method=renderer.density)["sigma"]
+            new_grid, mean_d, occ = update_density_grid(
+                key, state.density_grid, density_fn, cfg.bound,
+                decay=0.95, density_thresh=cfg.density_thresh,
+                grid_size=cfg.grid_size)
+            return state.replace(density_grid=new_grid, mean_density=mean_d,
+                                 occ_grid=occ)
+
+        return update_grid
+
+    # ------------------------------------------------------------------
+    def _make_eval_fn(self, H: int, W: int):
+        renderer = self.renderer
+        cfg = self.cfg
+
+        @jax.jit
+        def eval_fn(params, occ_grid, ro, rd, key):
+            flags = RenderFlags(perturb=False)
+            out = renderer.apply(
+                {"params": params}, flags, ro, rd,
+                occ_grid=occ_grid if cfg.backbone == "grid" else None,
+                ambient_ratio=1.0, shading=SHADING_IDS["albedo"],
+                rngs={"render": key}, method=renderer.render)
+            return out["image"], out["depth"], out["weights_sum"]
+
+        return eval_fn
+
+    # ------------------------------------------------------------------
+    def train(self, state: TrainState, max_steps: Optional[int] = None
+              ) -> TrainState:
+        cfg = self.cfg
+        max_steps = max_steps or cfg.iters
+        key = jax.random.PRNGKey(cfg.seed or 0)
+
+        if self._train_step_main is None:
+            self._train_step_main = self._make_train_step("main")
+            if cfg.latent_iter_ratio > 0:
+                self._train_step_latent = self._make_train_step("latent")
+            if cfg.backbone == "grid":
+                self._update_grid_fn = self._make_update_grid()
+
+        t0 = time.time()
+        loss_accum, n_accum = 0.0, 0
+        start = self.global_step
+        exp_end = cfg.exp_end_iter or cfg.iters
+        exp_start = cfg.exp_start_iter or 0
+        while self.global_step < max_steps:
+            key, k_step, k_grid = jax.random.split(key, 3)
+
+            if cfg.backbone == "grid" and \
+                    self.global_step % cfg.update_extra_interval == 0:
+                state = self._update_grid_fn(state, k_grid)
+
+            r_exp = (self.global_step - exp_start) / max(exp_end - exp_start, 1)
+            if r_exp <= cfg.latent_iter_ratio and self._train_step_latent:
+                state, metrics = self._train_step_latent(state, k_step)
+            else:
+                state, metrics = self._train_step_main(state, k_step)
+            self.global_step += 1
+
+            if self.global_step % cfg.dataset_size_train == 0 or \
+                    self.global_step == max_steps:
+                loss = float(metrics["loss"])
+                self.stats["loss"].append(loss)
+                dt = time.time() - t0
+                done = self.global_step - start
+                self.log(f"[step {self.global_step}/{max_steps}] "
+                         f"loss={loss:.4f} mean_density="
+                         f"{float(state.mean_density):.3f} "
+                         f"({done / dt:.2f} it/s)")
+                self.epoch = self.global_step // cfg.dataset_size_train
+                if cfg.eval_interval > 0 and \
+                        self.epoch % cfg.eval_interval == 0:
+                    self.evaluate(state)
+                self.save_checkpoint(state)
+        return state
+
+    # ------------------------------------------------------------------
+    def evaluate(self, state: TrainState, n_views: Optional[int] = None):
+        cfg = self.cfg
+        H, W = cfg.h, cfg.w
+        n_views = n_views or min(cfg.dataset_size_valid, 4)
+        if self._eval_fn is None:
+            self._eval_fn = self._make_eval_fn(H, W)
+        key = jax.random.PRNGKey(42)
+        for i in range(n_views):
+            batch = circle_view_batch(cfg, i, n_views, H, W)
+            img, depth, _ = self._eval_fn(
+                state.ema_params, state.occ_grid,
+                batch.rays_o.reshape(-1, 3), batch.rays_d.reshape(-1, 3), key)
+            img = np.asarray(img).reshape(H, W, 3)
+            save_image(os.path.join(
+                self.workspace, "validation",
+                f"df_ep{self.epoch:04d}_{i:04d}_rgb.png"), img)
+
+    # ------------------------------------------------------------------
+    def test(self, state: TrainState, n_frames: Optional[int] = None,
+             write_video: bool = True, six_views: bool = False):
+        """Turntable render → mp4 (reference utils.py:838-887)."""
+        cfg = self.cfg
+        H, W = cfg.h, cfg.w
+        if self._eval_fn is None:
+            self._eval_fn = self._make_eval_fn(H, W)
+        key = jax.random.PRNGKey(42)
+        frames, depths = [], []
+        n = 6 if six_views else (n_frames or cfg.dataset_size_test)
+        for i in range(n):
+            batch = six_view_batch(cfg, i, H, W) if six_views else \
+                circle_view_batch(cfg, i, n, H, W)
+            img, depth, _ = self._eval_fn(
+                state.ema_params, state.occ_grid,
+                batch.rays_o.reshape(-1, 3), batch.rays_d.reshape(-1, 3), key)
+            frames.append(np.asarray(img).reshape(H, W, 3))
+            depths.append(np.asarray(depth).reshape(H, W))
+        rd = os.path.join(self.workspace, "results")
+        if write_video and not six_views:
+            save_video(os.path.join(rd, "df_rgb.mp4"), frames)
+            save_video(os.path.join(rd, "df_depth.mp4"),
+                       [colorize_depth(d) for d in depths])
+        else:
+            for i, f in enumerate(frames):
+                save_image(os.path.join(rd, f"df_{i:04d}_rgb.png"), f)
+        return frames
+
+    # ------------------------------------------------------------------
+    # checkpointing (reference utils.py:1206-1334)
+    def _ckpt_dir(self) -> str:
+        return os.path.join(self.workspace, "checkpoints")
+
+    def save_checkpoint(self, state: TrainState, full: bool = True):
+        import orbax.checkpoint as ocp
+        path = os.path.join(self._ckpt_dir(), f"df_ep{self.epoch:04d}")
+        ckptr = ocp.StandardCheckpointer()
+        payload = flax.serialization.to_state_dict(state)
+        ckptr.save(os.path.abspath(path), payload, force=True)
+        ckptr.wait_until_finished()
+        with open(path + ".meta.json", "w") as f:
+            json.dump({"global_step": self.global_step, "epoch": self.epoch,
+                       "stats": {"loss": self.stats["loss"][-5:]}}, f)
+        self.stats["checkpoints"].append(path)
+        # rolling retention (utils.py:1231-1235)
+        while len(self.stats["checkpoints"]) > self.cfg.max_keep_ckpt:
+            old = self.stats["checkpoints"].pop(0)
+            import shutil
+            if os.path.exists(old):
+                shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(old + ".meta.json"):
+                os.remove(old + ".meta.json")
+
+    def load_checkpoint(self, state_template: TrainState,
+                        ckpt: str = "latest") -> Tuple[TrainState, bool]:
+        import orbax.checkpoint as ocp
+        if ckpt == "latest":
+            cands = sorted(glob.glob(os.path.join(self._ckpt_dir(), "df_ep*")))
+            cands = [c for c in cands if os.path.isdir(c)]
+            if not cands:
+                return state_template, False
+            path = cands[-1]
+        else:
+            path = ckpt
+        ckptr = ocp.StandardCheckpointer()
+        target = flax.serialization.to_state_dict(state_template)
+        restored = ckptr.restore(os.path.abspath(path), target=target)
+        state = flax.serialization.from_state_dict(state_template, restored)
+        meta = path + ".meta.json"
+        if os.path.exists(meta):
+            with open(meta) as f:
+                m = json.load(f)
+            self.global_step = m["global_step"]
+            self.epoch = m["epoch"]
+        return state, True

@@ -1,0 +1,146 @@
+"""Training-layer tests: Adan vs numpy oracle, end-to-end tiny train loop."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dreamfusion_tpu.config import Config, finalize
+from dreamfusion_tpu.guidance.embeddings import prepare_text_embeddings
+from dreamfusion_tpu.guidance.sd import SDConfig, StableDiffusionGuidance
+from dreamfusion_tpu.training.optimizer import adan, build_optimizer
+from dreamfusion_tpu.training.trainer import Trainer
+
+
+# ---------------- Adan oracle ----------------
+
+def test_adan_matches_reference_formula():
+    """Hand-rolled numpy simulation of the Adan update
+    (reference optimizer.py:202-256)."""
+    b1, b2, b3, eps, wd, lr = 0.98, 0.92, 0.99, 1e-8, 2e-5, 0.01
+    opt = adan(lr, b1, b2, b3, eps, wd, max_grad_norm=0.0)
+    p = jnp.array([1.0, -2.0])
+    state = opt.init(p)
+    rng = np.random.default_rng(3)
+    grads = [rng.normal(size=2).astype(np.float32) for _ in range(4)]
+
+    # numpy sim
+    m = np.zeros(2); diff = np.zeros(2); n = np.zeros(2)
+    pn = np.array([1.0, -2.0]); prev = None
+    for k, g in enumerate(grads, start=1):
+        gd = g - (prev if prev is not None else g)
+        m = b1 * m + (1 - b1) * g
+        diff = b2 * diff + (1 - b2) * gd
+        u = g + b2 * gd
+        n = b3 * n + (1 - b3) * u * u
+        bc1, bc2, bc3s = 1 - b1 ** k, 1 - b2 ** k, np.sqrt(1 - b3 ** k)
+        denom = np.sqrt(n) / bc3s + eps
+        pn = (pn - (lr / bc1) * m / denom - (lr * b2 / bc2) * diff / denom) \
+            / (1 + lr * wd)
+        prev = g
+
+    for g in grads:
+        updates, state = opt.update(jnp.asarray(g), state, p)
+        p = p + updates
+    np.testing.assert_allclose(np.asarray(p), pn, rtol=1e-5, atol=1e-7)
+
+
+def test_adan_grad_clip():
+    opt = adan(0.1, max_grad_norm=1.0)
+    p = jnp.zeros(3)
+    state = opt.init(p)
+    big = jnp.array([100.0, 0.0, 0.0])
+    up1, state = opt.update(big, state, p)
+    # effect of clipped grad == effect of grad with norm ~1
+    opt2 = adan(0.1, max_grad_norm=0.0)
+    st2 = opt2.init(p)
+    up2, _ = opt2.update(jnp.array([1.0, 0.0, 0.0]), st2, p)
+    np.testing.assert_allclose(np.asarray(up1), np.asarray(up2), atol=1e-4)
+
+
+def test_build_optimizer_encoder_multiplier(key):
+    from dreamfusion_tpu.training.optimizer import encoder_label_fn
+    params = {"field": {"grid_table": jnp.ones((4, 2)),
+                        "sigma_net": {"dense_0": {"kernel": jnp.ones((2, 2))}}}}
+    labels = encoder_label_fn(params)
+    assert labels["field"]["grid_table"] == "encoder"
+    assert labels["field"]["sigma_net"]["dense_0"]["kernel"] == "net"
+
+
+# ---------------- end-to-end tiny training ----------------
+
+def tiny_config(tmp_path, backbone="vanilla", **kw):
+    base = dict(
+        text="a hamburger", workspace=str(tmp_path / "ws"),
+        backbone=backbone, w=16, h=16, iters=6, dataset_size_train=3,
+        latent_iter_ratio=0.34,      # first 2 steps in latent phase
+        grid_levels=4, grid_log2_hashmap_size=8, grid_desired_resolution=64,
+        grid_size=32, grid_coarse_steps=16, grid_fine_steps=16,
+        num_steps=12, upsample_steps=4, hidden_dim=16, num_layers=2,
+        hidden_dim_bg=8, num_layers_bg=2, update_extra_interval=4,
+        fp16=False, eval_interval=-1, max_keep_ckpt=2, seed=0,
+        lambda_3d_normal_smooth=0.0,
+    )
+    base.update(kw)
+    return finalize(Config(**base))
+
+
+@pytest.fixture(scope="module")
+def tiny_guidance():
+    g = StableDiffusionGuidance(SDConfig(tiny=True, image_size=16,
+                                         latent_size=8))
+    params = g.init_params(jax.random.PRNGKey(7))
+    emb = prepare_text_embeddings(g, params, "a hamburger")
+    return g, params, emb
+
+
+@pytest.mark.parametrize("backbone", ["vanilla", "grid"])
+def test_train_loop_smoke(tmp_path, tiny_guidance, backbone):
+    g, gparams, emb = tiny_guidance
+    cfg = tiny_config(tmp_path, backbone=backbone)
+    tr = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gparams},
+                 embeddings={"SD": emb})
+    state = tr.init_state(jax.random.PRNGKey(0))
+    p0 = jax.tree.map(lambda x: x.copy(), state.params)
+    state = tr.train(state, max_steps=cfg.iters)
+    assert int(state.step) == cfg.iters
+    # params moved and stayed finite
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    moved = sum(float(jnp.abs(a - b).sum()) for a, b in
+                zip(leaves, jax.tree_util.tree_leaves(p0)))
+    assert moved > 0
+    # loss recorded
+    assert len(tr.stats["loss"]) >= 1
+    assert np.isfinite(tr.stats["loss"][-1])
+    if backbone == "grid":
+        assert float(state.mean_density) >= 0
+
+    # checkpoint roundtrip
+    tr.save_checkpoint(state)
+    tr2 = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gparams},
+                  embeddings={"SD": emb})
+    template = tr2.init_state(jax.random.PRNGKey(1))
+    restored, ok = tr2.load_checkpoint(template, "latest")
+    assert ok
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
+    assert tr2.global_step == tr.global_step
+
+
+def test_eval_and_test_write_outputs(tmp_path, tiny_guidance):
+    g, gparams, emb = tiny_guidance
+    cfg = tiny_config(tmp_path, backbone="vanilla", iters=2,
+                      latent_iter_ratio=0.0)
+    tr = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gparams},
+                 embeddings={"SD": emb})
+    state = tr.init_state(jax.random.PRNGKey(0))
+    tr.evaluate(state, n_views=2)
+    files = os.listdir(os.path.join(tr.workspace, "validation"))
+    assert len(files) == 2
+    tr.test(state, n_frames=3, write_video=True)
+    results = os.listdir(os.path.join(tr.workspace, "results"))
+    assert len(results) >= 1

@@ -113,7 +113,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
     return finalize(cfg)
 
 
-def build_guidance(cfg: Config, tiny: bool = False):
+def build_guidance(cfg: Config, tiny: bool = False, ref_images=None):
     """Instantiate guidance modules + params + embeddings
     (reference main.py:378-394 + Trainer.prepare_embeddings)."""
     import jax
@@ -148,19 +148,25 @@ def build_guidance(cfg: Config, tiny: bool = False):
                                                     cfg.negative)
         elif name == "zero123":
             from .guidance.zero123 import Zero123Config, Zero123Guidance
-            g = Zero123Guidance(Zero123Config(t_range=cfg.t_range, tiny=tiny))
+            g = Zero123Guidance(Zero123Config(
+                t_range=cfg.t_range, tiny=tiny,
+                grad_scale_mode=cfg.zero123_grad_scale))
             p = g.init_params(key)
             guidances[name] = g
             gparams[name] = p
-            embeddings[name] = g.prepare_image_embeddings(p, cfg.image)
+            assert ref_images is not None, "zero123 needs --image"
+            embeddings[name] = g.prepare_image_embeddings(
+                p, ref_images.rgb, ref_images.polars, ref_images.azimuths,
+                ref_images.radii, ref_images.weights)
         elif name == "clip":
             from .guidance.clip import CLIPConfig, CLIPGuidance
             g = CLIPGuidance(CLIPConfig(tiny=tiny))
             p = g.init_params(key)
             guidances[name] = g
             gparams[name] = p
-            embeddings[name] = g.prepare_embeddings(p, cfg.text or "",
-                                                    cfg.image)
+            embeddings[name] = g.prepare_embeddings(
+                p, cfg.text or None,
+                ref_images.rgb[0] if ref_images is not None else None)
     return guidances, gparams, embeddings
 
 
@@ -181,14 +187,20 @@ def main(argv=None):
         from .parallel.mesh import make_mesh
         mesh = make_mesh()
 
+    ref_images = None
+    if cfg.image is not None or cfg.image_config is not None:
+        from .training.image_data import load_ref_images
+        ref_images = load_ref_images(cfg, cfg.h, cfg.w)
+
     needs_guidance = not cfg.test
     guidances, gparams, embeddings = ({}, {}, {})
     if needs_guidance:
         guidances, gparams, embeddings = build_guidance(
-            cfg, tiny=args.tiny_guidance)
+            cfg, tiny=args.tiny_guidance, ref_images=ref_images)
 
     trainer = Trainer(cfg, guidances=guidances, guidance_params=gparams,
-                      embeddings=embeddings, mesh=mesh)
+                      embeddings=embeddings, mesh=mesh,
+                      ref_images=ref_images)
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed or 0))
     if cfg.ckpt != "scratch":
         state, loaded = trainer.load_checkpoint(

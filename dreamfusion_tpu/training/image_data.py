@@ -1,0 +1,126 @@
+"""Reference-image loading for image-conditioned training.
+
+Reference: Trainer.prepare_embeddings' image branch
+(/root/reference/nerf/utils.py:375-402) — loads `*_rgba.png` plus optional
+`*_depth.png` / `*_normal.png` produced by preprocess_image.py, resizes to
+the known-view resolution, splits mask/rgb.
+
+Multi-view image configs (CSV with per-view polar/azimuth/radius/weight,
+reference main.py:234-246) are parsed here too.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import Config
+from ..utils.image import load_image
+
+
+@dataclass
+class RefImages:
+    rgb: np.ndarray            # [K, H, W, 3] float, premasked
+    mask: np.ndarray           # [K, H, W] bool
+    depth: Optional[np.ndarray]   # [K, H, W] float or None
+    normal: Optional[np.ndarray]  # [K, H, W, 3] float or None
+    polars: Tuple[float, ...] = (90.0,)
+    azimuths: Tuple[float, ...] = (0.0,)
+    radii: Tuple[float, ...] = (3.2,)
+    weights: Tuple[float, ...] = (1.0,)
+
+
+def _resize(img: np.ndarray, H: int, W: int) -> np.ndarray:
+    from PIL import Image
+    arr = Image.fromarray(
+        (np.clip(img, 0, 1) * 255).astype(np.uint8)).resize(
+            (W, H), Image.BILINEAR)
+    return np.asarray(arr).astype(np.float32) / 255.0
+
+
+def parse_image_config(path: str) -> List[dict]:
+    """CSV with columns image,polar,azimuth,radius,zero123_weight
+    (reference main.py:234-246 / config/*.csv)."""
+    rows = []
+    with open(path) as f:
+        for row in csv.DictReader(f):
+            rows.append(row)
+    return rows
+
+
+def load_ref_images(cfg: Config, H: int, W: int) -> RefImages:
+    """Load single or multi-view reference images at the known-view
+    resolution (known_view_scale * render size)."""
+    Hs = int(cfg.known_view_scale * H)
+    Ws = int(cfg.known_view_scale * W)
+
+    if cfg.image_config:
+        rows = parse_image_config(cfg.image_config)
+        paths = [r["image"] for r in rows]
+        polars = tuple(float(r.get("polar", 90.0)) for r in rows)
+        azimuths = tuple(float(r.get("azimuth", 0.0)) for r in rows)
+        radii = tuple(float(r.get("radius", 3.2)) for r in rows)
+        weights = tuple(float(r.get("zero123_weight", 1.0)) for r in rows)
+    else:
+        assert cfg.image is not None
+        paths = [cfg.image]
+        polars = (cfg.default_polar,)
+        azimuths = (cfg.default_azimuth,)
+        radii = (cfg.default_radius,)
+        weights = (1.0,)
+
+    rgbs, masks, depths, normals = [], [], [], []
+    have_depth = have_normal = True
+    for p in paths:
+        rgba = load_image(p)
+        if rgba.shape[-1] == 4:
+            mask = rgba[..., 3] > 0.5
+            rgb = rgba[..., :3] * rgba[..., 3:4]
+        else:
+            mask = np.ones(rgba.shape[:2], bool)
+            rgb = rgba[..., :3]
+        rgbs.append(_resize(rgb, Hs, Ws))
+        masks.append(_resize(mask.astype(np.float32), Hs, Ws) > 0.5)
+
+        dp = p.replace("_rgba", "_depth")
+        if dp != p and os.path.exists(dp):
+            d = load_image(dp)
+            if d.ndim == 3:
+                d = d[..., 0]
+            depths.append(_resize(d, Hs, Ws))
+        else:
+            have_depth = False
+        npth = p.replace("_rgba", "_normal")
+        if npth != p and os.path.exists(npth):
+            n = load_image(npth)[..., :3]
+            normals.append(_resize(n, Hs, Ws))
+        else:
+            have_normal = False
+
+    return RefImages(
+        rgb=np.stack(rgbs),
+        mask=np.stack(masks),
+        depth=np.stack(depths) if have_depth and depths else None,
+        normal=np.stack(normals) if have_normal and normals else None,
+        polars=polars, azimuths=azimuths, radii=radii, weights=weights,
+    )
+
+
+def masked_pearson(pred: "np.ndarray", gt: "np.ndarray", mask: "np.ndarray"):
+    """Masked Pearson correlation, jnp-friendly (replaces torchmetrics'
+    PearsonCorrCoef over boolean-indexed values, nerf/utils.py:270,585)."""
+    import jax.numpy as jnp
+    m = mask.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(m), 1.0)
+    mp = jnp.sum(pred * m) / n
+    mg = jnp.sum(gt * m) / n
+    vp = pred - mp
+    vg = gt - mg
+    cov = jnp.sum(vp * vg * m) / n
+    sp = jnp.sqrt(jnp.sum(vp * vp * m) / n + 1e-8)
+    sg = jnp.sqrt(jnp.sum(vg * vg * m) / n + 1e-8)
+    return cov / (sp * sg + 1e-8)

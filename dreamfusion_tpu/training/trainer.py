@@ -89,9 +89,11 @@ class Trainer:
     def __init__(self, cfg: Config, guidances: Optional[Dict[str, Any]] = None,
                  guidance_params: Optional[Dict[str, Any]] = None,
                  embeddings: Optional[Dict[str, Dict[str, jax.Array]]] = None,
-                 workspace: Optional[str] = None, mesh=None):
+                 workspace: Optional[str] = None, mesh=None,
+                 ref_images=None):
         self.cfg = cfg
         self.mesh = mesh
+        self.ref_images = ref_images
         self.workspace = workspace or cfg.workspace
         self.renderer = build_renderer(cfg)
         self.optimizer = build_optimizer(cfg.optim, cfg.lr, cfg.iters,
@@ -326,6 +328,100 @@ class Trainer:
         return train_step
 
     # ------------------------------------------------------------------
+    def _make_known_view_step(self):
+        """Known-view RGBD/normal reconstruction step for image-conditioned
+        runs (reference nerf/utils.py:446-590): every known_view_interval
+        steps the random camera is swapped for a reference camera and SDS is
+        replaced by rgb/mask/normal/depth losses."""
+        import numpy as np_
+
+        from ..core.math import safe_normalize
+        from .data import default_view_batch
+        from .image_data import masked_pearson
+
+        cfg = self.cfg
+        renderer = self.renderer
+        ref = self.ref_images
+        assert ref is not None
+        K = ref.rgb.shape[0]
+        kv_batch = default_view_batch(cfg, ref.radii, ref.polars,
+                                      ref.azimuths, cfg.h, cfg.w)
+        Hs, Ws = ref.rgb.shape[1:3]
+        gt_rgb = jnp.asarray(ref.rgb)
+        gt_mask = jnp.asarray(ref.mask)
+        gt_depth = jnp.asarray(ref.depth) if ref.depth is not None else None
+        gt_normal = jnp.asarray(ref.normal) if ref.normal is not None else None
+
+        flags = RenderFlags(
+            perturb=True,
+            need_normal_image=cfg.lambda_normal > 0 and gt_normal is not None,
+        )
+
+        def loss_fn(params, state: TrainState, key: jax.Array):
+            k_sel, k_noise, k_bg, k_render = jax.random.split(key, 4)
+            step = state.step
+            sel = jax.random.randint(k_sel, (), 0, K)
+            ro = kv_batch.rays_o[sel]
+            rd = kv_batch.rays_d[sel]
+            # camera noise against grid artifacts (utils.py:497-501)
+            if cfg.known_view_noise_scale > 0:
+                nro, nrd = jax.random.split(k_noise)
+                ro = ro + jax.random.normal(nro, (3,)) * cfg.known_view_noise_scale
+                rd = rd + jax.random.normal(nrd, (3,)) * cfg.known_view_noise_scale
+            bg_color = jax.random.uniform(k_bg, (ro.shape[0], 3))
+            light_d = safe_normalize(ro)
+            r_exp = schedules.iter_ratio(step, cfg.exp_start_iter or 0,
+                                         cfg.exp_end_iter or cfg.iters)
+            max_level = schedules.encoder_max_level(cfg, r_exp)
+
+            out = renderer.apply(
+                {"params": params}, flags, ro, rd,
+                occ_grid=state.occ_grid if cfg.backbone == "grid" else None,
+                light_d=light_d, ambient_ratio=1.0,
+                shading=SHADING_IDS["lambertian"], bg_color=bg_color,
+                max_level=max_level, rngs={"render": k_render},
+                method=renderer.render)
+
+            pred = out["image"].reshape(Hs, Ws, 3)
+            pred_mask = out["weights_sum"].reshape(Hs, Ws)
+            m = gt_mask[sel].astype(jnp.float32)
+            gt = gt_rgb[sel] * m[..., None] + \
+                bg_color.reshape(Hs, Ws, 3) * (1 - m[..., None])
+            loss = cfg.lambda_rgb * jnp.mean((pred - gt) ** 2)
+            loss = loss + cfg.lambda_mask * jnp.mean((pred_mask - m) ** 2)
+
+            if gt_normal is not None and "normal_image" in out:
+                pn = 2.0 * out["normal_image"].reshape(Hs, Ws, 3) - 1.0
+                gn = 1.0 - 2.0 * gt_normal[sel]
+                cos = jnp.sum(safe_normalize(pn) * safe_normalize(gn), -1)
+                lam = schedules.lambda_normal_at(cfg, step)
+                loss = loss + lam * (1.0 - jnp.sum(cos * m) /
+                                     jnp.maximum(jnp.sum(m), 1.0))
+            if gt_depth is not None and cfg.lambda_depth > 0:
+                lam = schedules.lambda_depth_at(cfg, step)
+                pear = masked_pearson(out["depth"].reshape(Hs, Ws),
+                                      gt_depth[sel], gt_mask[sel])
+                loss = loss + lam * (1.0 - pear)
+            return loss, {"loss": loss, "loss_sds": jnp.zeros(())}
+
+        @jax.jit
+        def known_view_step(state: TrainState, key: jax.Array):
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state, key)
+            updates, new_opt = self.optimizer.update(
+                grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            decay = self.cfg.ema_decay
+            new_ema = jax.tree.map(
+                lambda e, p: decay * e + (1 - decay) * p,
+                state.ema_params, new_params)
+            return state.replace(params=new_params, opt_state=new_opt,
+                                 ema_params=new_ema, step=state.step + 1), \
+                metrics
+
+        return known_view_step
+
+    # ------------------------------------------------------------------
     def _make_update_grid(self):
         cfg = self.cfg
         renderer = self.renderer
@@ -374,6 +470,10 @@ class Trainer:
                 self._train_step_latent = self._make_train_step("latent")
             if cfg.backbone == "grid":
                 self._update_grid_fn = self._make_update_grid()
+            if self.ref_images is not None:
+                self._known_view_step = self._make_known_view_step()
+            else:
+                self._known_view_step = None
 
         t0 = time.time()
         loss_accum, n_accum = 0.0, 0
@@ -388,7 +488,10 @@ class Trainer:
                 state = self._update_grid_fn(state, k_grid)
 
             r_exp = (self.global_step - exp_start) / max(exp_end - exp_start, 1)
-            if r_exp <= cfg.latent_iter_ratio and self._train_step_latent:
+            if self._known_view_step is not None and \
+                    self.global_step % cfg.known_view_interval == 0:
+                state, metrics = self._known_view_step(state, k_step)
+            elif r_exp <= cfg.latent_iter_ratio and self._train_step_latent:
                 state, metrics = self._train_step_latent(state, k_step)
             else:
                 state, metrics = self._train_step_main(state, k_step)

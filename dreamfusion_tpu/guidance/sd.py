@@ -72,6 +72,7 @@ class StableDiffusionGuidance:
 
     # ---- init (random weights; real weights via guidance/weights.py) ----
     def init_params(self, key: jax.Array) -> Dict[str, Any]:
+        from ..utils.params import fast_random_params
         ku, kv, kt = jax.random.split(key, 3)
         ls = self.cfg.latent_size
         ims = ls * self.vae.cfg.downscale
@@ -80,12 +81,28 @@ class StableDiffusionGuidance:
             f"{self.vae.cfg.downscale}")
         ctx = self.unet.cfg.context_dim
         tl = self.text_encoder.cfg.max_len
-        unet_p = self.unet.init(
-            ku, jnp.zeros((1, ls, ls, self.unet.cfg.in_channels)),
-            jnp.zeros((1,)), jnp.zeros((1, tl, ctx)))["params"]
-        vae_p = self.vae.init(kv, jnp.zeros((1, ims, ims, 3)), kv)["params"]
-        text_p = self.text_encoder.init(
-            kt, jnp.zeros((1, tl), jnp.int32))["params"]
+        if self.cfg.tiny:
+            unet_p = self.unet.init(
+                ku, jnp.zeros((1, ls, ls, self.unet.cfg.in_channels)),
+                jnp.zeros((1,)), jnp.zeros((1, tl, ctx)))["params"]
+            vae_p = self.vae.init(kv, jnp.zeros((1, ims, ims, 3)), kv)["params"]
+            text_p = self.text_encoder.init(
+                kt, jnp.zeros((1, tl), jnp.int32))["params"]
+            return {"unet": unet_p, "vae": vae_p, "text": text_p}
+        # full size: host-side shape-faithful init (no giant init compile)
+        unet_p = fast_random_params(
+            lambda: self.unet.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, ls, ls, self.unet.cfg.in_channels)),
+                jnp.zeros((1,)), jnp.zeros((1, tl, ctx)))["params"], seed=0)
+        vae_p = fast_random_params(
+            lambda: self.vae.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, ims, ims, 3)),
+                                  jax.random.PRNGKey(0))["params"], seed=1)
+        text_p = fast_random_params(
+            lambda: self.text_encoder.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, tl), jnp.int32))["params"], seed=2)
         return {"unet": unet_p, "vae": vae_p, "text": text_p}
 
     # ---- text embedding (one-time, reference sd_utils.py:76-83) ---------

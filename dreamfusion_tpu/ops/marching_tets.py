@@ -1,0 +1,170 @@
+"""Static-shape marching tetrahedra + mesh regularizers.
+
+TPU-native re-design of the reference `DMTet` class
+(/root/reference/nerf/renderer.py:94-174) whose per-step `torch.unique` and
+boolean indexing produce dynamic shapes.  Here:
+
+  * edge topology is precomputed host-side (mesh/tets.py), so surface
+    vertices live at *fixed* slots — one per unique tet edge;
+  * every tet emits up to 2 triangles into a [2F, 3] buffer with a validity
+    mask; a `top_k` pass compacts valid triangles into a fixed budget
+    (TPUs prefer a bounded dense buffer over data-dependent allocation);
+  * mesh regularizers (uniform Laplacian, normal consistency — reference
+    renderer.py:208-254) are segment-sum / sort based, fully static.
+
+The triangle connectivity table is the standard published marching-tets
+lookup (same table used by DMTet/nvdiffrec and the reference).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# standard marching-tetrahedra connectivity: row = 4-bit occupancy config,
+# entries index the tet's 6 edges in order (01,02,03,12,13,23); -1 = unused
+TRIANGLE_TABLE = np.array([
+    [-1, -1, -1, -1, -1, -1],
+    [1, 0, 2, -1, -1, -1],
+    [4, 0, 3, -1, -1, -1],
+    [1, 4, 2, 1, 3, 4],
+    [3, 1, 5, -1, -1, -1],
+    [2, 3, 0, 2, 5, 3],
+    [1, 4, 0, 1, 5, 4],
+    [4, 2, 5, -1, -1, -1],
+    [4, 5, 2, -1, -1, -1],
+    [4, 1, 0, 4, 5, 1],
+    [3, 2, 0, 3, 5, 2],
+    [1, 3, 5, -1, -1, -1],
+    [4, 1, 2, 4, 3, 1],
+    [3, 0, 4, -1, -1, -1],
+    [2, 0, 1, -1, -1, -1],
+    [-1, -1, -1, -1, -1, -1],
+], dtype=np.int32)
+
+NUM_TRIANGLES = np.array([0, 1, 1, 2, 1, 2, 2, 1, 1, 2, 2, 1, 2, 1, 1, 0],
+                         dtype=np.int32)
+
+
+class TetMesh(NamedTuple):
+    verts: jax.Array       # [E, 3] — one slot per unique tet edge
+    vert_valid: jax.Array  # [E] bool — edge actually crossed
+    faces: jax.Array       # [max_tris, 3] int32 into verts
+    face_mask: jax.Array   # [max_tris] bool
+
+
+def marching_tets(
+    vert_pos: jax.Array,      # [V, 3] deformed tet-grid vertices
+    sdf: jax.Array,           # [V]
+    tets: jax.Array,          # [F, 4] int32
+    tet_edges: jax.Array,     # [F, 6] int32 → unique edge id
+    unique_edges: jax.Array,  # [E, 2] int32
+    max_tris: int,
+) -> TetMesh:
+    V = vert_pos.shape[0]
+    occ = sdf > 0
+
+    # surface vertex per unique edge (fixed slot)
+    a, b = unique_edges[:, 0], unique_edges[:, 1]
+    sa, sb = sdf[a], sdf[b]
+    crossing = occ[a] != occ[b]
+    denom = sa - sb
+    denom = jnp.where(jnp.abs(denom) < 1e-10,
+                      jnp.where(denom < 0, -1e-10, 1e-10), denom)
+    t = jnp.clip(sa / denom, 0.0, 1.0)
+    verts = vert_pos[a] + (vert_pos[b] - vert_pos[a]) * t[:, None]   # [E, 3]
+
+    # per-tet triangles
+    occ4 = occ[tets]                                                 # [F, 4]
+    tetindex = jnp.sum(
+        occ4.astype(jnp.int32) * (2 ** jnp.arange(4, dtype=jnp.int32)),
+        axis=-1)                                                     # [F]
+    tri_tab = jnp.asarray(TRIANGLE_TABLE)[tetindex]                  # [F, 6]
+    ntri = jnp.asarray(NUM_TRIANGLES)[tetindex]                      # [F]
+
+    local = jnp.maximum(tri_tab, 0)                                  # [F, 6]
+    glob = jnp.take_along_axis(tet_edges, local, axis=-1)            # [F, 6]
+    faces_all = glob.reshape(-1, 3)                                  # [2F, 3]
+    F = tets.shape[0]
+    mask_all = jnp.concatenate(
+        [ntri >= 1, ntri == 2]).reshape(2, F).T.reshape(-1)          # [2F]
+
+    # static compaction: valid triangles first (top_k is stable on ties)
+    _, idx = jax.lax.top_k(mask_all.astype(jnp.float32), max_tris)
+    faces = faces_all[idx]
+    face_mask = mask_all[idx]
+    faces = jnp.where(face_mask[:, None], faces, 0)
+    return TetMesh(verts, crossing, faces, face_mask)
+
+
+def vertex_normals(mesh: TetMesh) -> jax.Array:
+    """Area-weighted vertex normals via masked scatter-add → [E, 3]."""
+    v0 = mesh.verts[mesh.faces[:, 0]]
+    v1 = mesh.verts[mesh.faces[:, 1]]
+    v2 = mesh.verts[mesh.faces[:, 2]]
+    fn = jnp.cross(v1 - v0, v2 - v0)                    # [T, 3] (area-weighted)
+    fn = jnp.where(mesh.face_mask[:, None], fn, 0.0)
+    E = mesh.verts.shape[0]
+    out = jnp.zeros((E, 3))
+    for k in range(3):
+        out = out.at[mesh.faces[:, k]].add(fn)
+    n = out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-12)
+    # degenerate verts: default up
+    return jnp.where(jnp.linalg.norm(out, axis=-1, keepdims=True) > 1e-10,
+                     n, jnp.array([0.0, 1.0, 0.0]))
+
+
+def laplacian_smooth_loss(mesh: TetMesh) -> jax.Array:
+    """Uniform-Laplacian magnitude (reference renderer.py:247-254):
+    ||mean(neighbor) − v||², averaged over active surface verts."""
+    E = mesh.verts.shape[0]
+    nb_sum = jnp.zeros((E, 3))
+    nb_cnt = jnp.zeros((E,))
+    f = mesh.faces
+    m = mesh.face_mask.astype(jnp.float32)
+    for i, j in ((0, 1), (1, 2), (2, 0)):
+        for src, dst in ((i, j), (j, i)):
+            nb_sum = nb_sum.at[f[:, dst]].add(
+                mesh.verts[f[:, src]] * m[:, None])
+            nb_cnt = nb_cnt.at[f[:, dst]].add(m)
+    active = nb_cnt > 0
+    mean_nb = nb_sum / jnp.maximum(nb_cnt, 1.0)[:, None]
+    d2 = jnp.sum((mean_nb - mesh.verts) ** 2, axis=-1)
+    return jnp.sum(jnp.where(active, d2, 0.0)) / jnp.maximum(
+        jnp.sum(active), 1)
+
+
+def normal_consistency_loss(mesh: TetMesh) -> jax.Array:
+    """(1 − cos) between normals of faces sharing an edge (reference
+    renderer.py:208-221), found by a static sort over encoded edge keys:
+    equal adjacent keys in the sorted order are shared edges."""
+    v0 = mesh.verts[mesh.faces[:, 0]]
+    v1 = mesh.verts[mesh.faces[:, 1]]
+    v2 = mesh.verts[mesh.faces[:, 2]]
+    fn = jnp.cross(v1 - v0, v2 - v0)
+    fn = fn / (jnp.linalg.norm(fn, axis=-1, keepdims=True) + 1e-12)   # [T, 3]
+
+    E = mesh.verts.shape[0]
+    T = mesh.faces.shape[0]
+    keys, normals = [], []
+    for i, j in ((0, 1), (1, 2), (2, 0)):
+        lo = jnp.minimum(mesh.faces[:, i], mesh.faces[:, j]).astype(jnp.int64)
+        hi = jnp.maximum(mesh.faces[:, i], mesh.faces[:, j]).astype(jnp.int64)
+        k = lo * E + hi
+        # invalid faces get unique sentinel keys so they never pair up
+        k = jnp.where(mesh.face_mask, k,
+                      jnp.int64(E) * E + jnp.arange(T, dtype=jnp.int64))
+        keys.append(k)
+        normals.append(fn)
+    keys = jnp.concatenate(keys)                                      # [3T]
+    normals = jnp.concatenate(normals)                                # [3T, 3]
+    order = jnp.argsort(keys)
+    ks = keys[order]
+    ns = normals[order]
+    pair = ks[1:] == ks[:-1]                                          # [3T-1]
+    cos = jnp.sum(ns[1:] * ns[:-1], axis=-1)
+    loss = jnp.where(pair, 1.0 - cos, 0.0)
+    return jnp.sum(loss) / jnp.maximum(jnp.sum(pair), 1)

@@ -1,0 +1,255 @@
+"""Textured mesh export.
+
+TPU-native re-design of the reference `export_mesh` pipeline
+(/root/reference/nerf/renderer.py:366-558): density grid query → marching
+cubes → clean → decimate → UV unwrap → texture bake → OBJ/MTL/PNG.
+
+Differences from the reference, by design:
+  * marching cubes / clean / decimate / unwrap run in our own native C++
+    library (native/meshops) instead of PyMCubes / pymeshlab / xatlas;
+  * the texture bake rasterizes the UV atlas with the same JAX tile
+    rasterizer used by the DMTet stage (ops/raster.py) instead of
+    nvdiffrast (renderer.py:464-472), so the albedo query runs as one
+    dense jitted batch on the TPU;
+  * hole inpainting uses an exact EDT nearest-texel transfer
+    (scipy) instead of the reference's torch KNN loop (renderer.py:500-522).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# field queries (chunked + jitted)
+# ---------------------------------------------------------------------------
+
+def _field_fn(trainer, state, name: str):
+    renderer = trainer.renderer
+    params = state.ema_params if getattr(state, "ema_params", None) is not None \
+        else state.params
+
+    @jax.jit
+    def fn(x):
+        out = renderer.apply({"params": params}, x, method=renderer.density)
+        return out[name]
+
+    return fn
+
+
+def query_grid(trainer, state, resolution: int = 256,
+               chunk: int = 256 * 256 * 64) -> np.ndarray:
+    """Query sigma on a resolution³ grid over [-bound, bound]³
+    (reference renderer.py:393-407)."""
+    bound = trainer.cfg.bound
+    fn = _field_fn(trainer, state, "sigma")
+    xs = np.linspace(-bound, bound, resolution, dtype=np.float32)
+    pts = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1).reshape(-1, 3)
+    out = np.empty((pts.shape[0],), np.float32)
+    for i in range(0, pts.shape[0], chunk):
+        end = min(i + chunk, pts.shape[0])
+        buf = pts[i:end]
+        if buf.shape[0] < chunk and i > 0:
+            pad = np.zeros((chunk - buf.shape[0], 3), np.float32)
+            out[i:end] = np.asarray(fn(jnp.asarray(
+                np.concatenate([buf, pad]))))[:end - i]
+        else:
+            out[i:end] = np.asarray(fn(jnp.asarray(buf)))
+    return out.reshape(resolution, resolution, resolution)
+
+
+def extract_mesh(trainer, state, resolution: int = 256,
+                 density_thresh: Optional[float] = None,
+                 decimate_target: int = 50_000,
+                 clean: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """NeRF density → triangle mesh in world coordinates
+    (renderer.py:380-436)."""
+    from ..native import meshops
+
+    cfg = trainer.cfg
+    sigmas = query_grid(trainer, state, resolution)
+    if density_thresh is None:
+        # mirror renderer.py:387-391: relax threshold if the field is faint
+        mean_live = float(sigmas[sigmas > 1e-3].mean()) \
+            if (sigmas > 1e-3).any() else cfg.density_thresh
+        density_thresh = min(2 * mean_live, cfg.density_thresh)
+    verts, tris = meshops.marching_cubes(sigmas, float(density_thresh))
+    if len(tris) == 0:
+        return verts, tris
+    # index space → world
+    verts = verts / (resolution - 1) * (2 * cfg.bound) - cfg.bound
+    if clean:
+        verts, tris = meshops.clean_mesh(verts, tris,
+                                         weld_eps=1e-4 * cfg.bound,
+                                         min_faces=8, min_frac=0.02)
+    if decimate_target and len(tris) > decimate_target:
+        verts, tris = meshops.decimate_mesh(verts, tris, decimate_target)
+    return verts.astype(np.float32), tris.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# texture bake
+# ---------------------------------------------------------------------------
+
+def bake_texture(trainer, state, verts: np.ndarray, tris: np.ndarray,
+                 uv: np.ndarray, tex_res: int = 1024,
+                 chunk: int = 512 * 512) -> np.ndarray:
+    """Rasterize the UV atlas, interpolate world positions per texel, query
+    the field's albedo there, EDT-inpaint the gutters
+    (renderer.py:449-529 re-designed for XLA)."""
+    from ..ops.raster import rasterize, interpolate
+
+    fn = _field_fn(trainer, state, "albedo")
+    # UV [0,1] → clip space for the rasterizer (NDC x right, y up)
+    u, v = uv[:, 0], uv[:, 1]
+    clip = np.stack([u * 2 - 1, -(v * 2 - 1), np.zeros_like(u),
+                     np.ones_like(u)], -1).astype(np.float32)
+    faces = jnp.asarray(tris)
+    out = rasterize(jnp.asarray(clip), faces,
+                    jnp.ones((len(tris),), bool), tex_res, tex_res,
+                    tile=32, tile_cap=min(1024, max(64, len(tris))),
+                    soft_edge_px=0.0)
+    xyz = interpolate(jnp.asarray(verts), out, faces)
+    mask = np.asarray(out.tri_id >= 0)
+    xyz = np.asarray(xyz).reshape(-1, 3)
+
+    albedo = np.zeros_like(xyz)
+    flat_mask = mask.reshape(-1)
+    pts = xyz[flat_mask]
+    cols = np.empty((pts.shape[0], 3), np.float32)
+    for i in range(0, pts.shape[0], chunk):
+        end = min(i + chunk, pts.shape[0])
+        buf = pts[i:end]
+        pad_n = chunk - buf.shape[0]
+        if pad_n > 0:
+            buf = np.concatenate([buf, np.zeros((pad_n, 3), np.float32)])
+        cols[i:end] = np.asarray(fn(jnp.asarray(buf)))[:end - i]
+    albedo[flat_mask] = cols
+    tex = albedo.reshape(tex_res, tex_res, 3)
+
+    # inpaint gutters: nearest covered texel (exact EDT)
+    if (~mask).any() and mask.any():
+        from scipy.ndimage import distance_transform_edt
+        _, idx = distance_transform_edt(~mask, return_indices=True)
+        tex = tex[idx[0], idx[1]]
+    return np.clip(tex, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# writers
+# ---------------------------------------------------------------------------
+
+def write_obj(path: str, verts: np.ndarray, tris: np.ndarray,
+              uv: Optional[np.ndarray] = None,
+              texture: Optional[np.ndarray] = None,
+              name: str = "mesh"):
+    """OBJ + MTL + albedo PNG (reference renderer.py:530-558)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    base = os.path.splitext(path)[0]
+    lines = []
+    if uv is not None:
+        lines.append(f"mtllib {os.path.basename(base)}.mtl")
+        lines.append(f"usemtl {name}")
+    for p in verts:
+        lines.append(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}")
+    if uv is not None:
+        for t in uv:
+            # OBJ vt origin is bottom-left; our v runs top-down
+            lines.append(f"vt {t[0]:.6f} {1.0 - t[1]:.6f}")
+        for f in tris + 1:
+            lines.append(f"f {f[0]}/{f[0]} {f[1]}/{f[1]} {f[2]}/{f[2]}")
+    else:
+        for f in tris + 1:
+            lines.append(f"f {f[0]} {f[1]} {f[2]}")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    if uv is not None and texture is not None:
+        import imageio.v2 as imageio
+        tex_path = f"{base}_albedo.png"
+        imageio.imwrite(tex_path,
+                        (texture * 255).astype(np.uint8))
+        with open(f"{base}.mtl", "w") as fh:
+            fh.write(f"newmtl {name}\nKa 1 1 1\nKd 1 1 1\nKs 0 0 0\n"
+                     f"Tr 1\nillum 1\nNs 0\n"
+                     f"map_Kd {os.path.basename(tex_path)}\n")
+
+
+def read_obj(path: str) -> Tuple[np.ndarray, np.ndarray,
+                                 Optional[np.ndarray], Optional[str]]:
+    """Minimal OBJ reader (v/vt/f) for turntable rendering & tests.
+    Returns (verts, tris, uv-per-vertex or None, texture path or None)."""
+    verts, uvs, tris, uvt = [], [], [], []
+    tex = None
+    d = os.path.dirname(os.path.abspath(path))
+    with open(path) as fh:
+        for line in fh:
+            p = line.split()
+            if not p:
+                continue
+            if p[0] == "v":
+                verts.append([float(x) for x in p[1:4]])
+            elif p[0] == "vt":
+                uvs.append([float(p[1]), 1.0 - float(p[2])])
+            elif p[0] == "f":
+                ids = [q.split("/") for q in p[1:4]]
+                tris.append([int(q[0]) - 1 for q in ids])
+                if len(ids[0]) > 1 and ids[0][1]:
+                    uvt.append([int(q[1]) - 1 for q in ids])
+            elif p[0] == "mtllib":
+                mtl = os.path.join(d, p[1])
+                if os.path.exists(mtl):
+                    with open(mtl) as mf:
+                        for ml in mf:
+                            if ml.strip().startswith("map_Kd"):
+                                tex = os.path.join(d, ml.split()[1])
+    verts = np.asarray(verts, np.float32)
+    tris = np.asarray(tris, np.int32)
+    uv = None
+    if uvs and uvt:
+        uv = np.zeros((len(verts), 2), np.float32)
+        uva = np.asarray(uvs, np.float32)
+        for f, tf in zip(tris, np.asarray(uvt, np.int32)):
+            uv[f] = uva[tf]
+    return verts, tris, uv, tex
+
+
+# ---------------------------------------------------------------------------
+# top-level driver
+# ---------------------------------------------------------------------------
+
+def export_mesh(trainer, state, save_dir: str, resolution: int = 256,
+                decimate_target: int = 50_000, tex_res: int = 1024,
+                name: str = "mesh") -> str:
+    """Full pipeline (reference Trainer.save_mesh, utils.py:787-798).
+    Returns the OBJ path ('' if the field produced no surface)."""
+    from ..native import meshops
+
+    if getattr(trainer.cfg, "dmtet", False) and \
+            getattr(trainer, "dmtet_renderer", None) is not None:
+        verts, tris = trainer.extract_dmtet_mesh(state)
+        verts, tris = meshops.clean_mesh(np.asarray(verts), np.asarray(tris),
+                                         weld_eps=1e-4 * trainer.cfg.bound,
+                                         min_faces=8, min_frac=0.02)
+        if decimate_target and len(tris) > decimate_target:
+            verts, tris = meshops.decimate_mesh(verts, tris, decimate_target)
+    else:
+        verts, tris = extract_mesh(trainer, state, resolution=resolution,
+                                   decimate_target=decimate_target)
+    if len(tris) == 0:
+        trainer.log("[export_mesh] empty surface, nothing to export")
+        return ""
+    verts, tris, uv, _src = meshops.unwrap_uv(verts, tris,
+                                              atlas_res=tex_res)
+    texture = bake_texture(trainer, state, verts, tris, uv, tex_res=tex_res)
+    path = os.path.join(save_dir, f"{name}.obj")
+    write_obj(path, verts, tris, uv=uv, texture=texture, name=name)
+    trainer.log(f"[export_mesh] wrote {path}: {len(verts)} verts, "
+                f"{len(tris)} tris, {tex_res}² texture")
+    return path

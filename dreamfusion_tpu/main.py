@@ -198,10 +198,19 @@ def main(argv=None):
         guidances, gparams, embeddings = build_guidance(
             cfg, tiny=args.tiny_guidance, ref_images=ref_images)
 
-    trainer = Trainer(cfg, guidances=guidances, guidance_params=gparams,
-                      embeddings=embeddings, mesh=mesh,
-                      ref_images=ref_images)
-    state = trainer.init_state(jax.random.PRNGKey(cfg.seed or 0))
+    if cfg.dmtet:
+        from .training.dmtet_trainer import DMTetTrainer
+        trainer = DMTetTrainer(cfg, guidances=guidances,
+                               guidance_params=gparams,
+                               embeddings=embeddings,
+                               ref_images=ref_images)
+        state = trainer.init_state(jax.random.PRNGKey(cfg.seed or 0),
+                                   nerf_ckpt=cfg.init_with)
+    else:
+        trainer = Trainer(cfg, guidances=guidances, guidance_params=gparams,
+                          embeddings=embeddings, mesh=mesh,
+                          ref_images=ref_images)
+        state = trainer.init_state(jax.random.PRNGKey(cfg.seed or 0))
     if cfg.ckpt != "scratch":
         state, loaded = trainer.load_checkpoint(
             state, cfg.ckpt if cfg.ckpt not in ("latest", "latest_model")

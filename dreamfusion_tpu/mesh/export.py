@@ -34,6 +34,8 @@ def _field_fn(trainer, state, name: str):
     renderer = trainer.renderer
     params = state.ema_params if getattr(state, "ema_params", None) is not None \
         else state.params
+    if isinstance(params, dict) and "nerf" in params:   # DMTet stage pytree
+        params = params["nerf"]
 
     @jax.jit
     def fn(x):

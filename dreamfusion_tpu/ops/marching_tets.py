@@ -111,10 +111,12 @@ def vertex_normals(mesh: TetMesh) -> jax.Array:
     out = jnp.zeros((E, 3))
     for k in range(3):
         out = out.at[mesh.faces[:, k]].add(fn)
-    n = out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-12)
+    # rsqrt(max(n², eps)) keeps the gradient finite at out == 0 (padded
+    # slots) — norm(0) has a NaN gradient
+    n2 = jnp.sum(out * out, axis=-1, keepdims=True)
+    n = out * jax.lax.rsqrt(jnp.maximum(n2, 1e-20))
     # degenerate verts: default up
-    return jnp.where(jnp.linalg.norm(out, axis=-1, keepdims=True) > 1e-10,
-                     n, jnp.array([0.0, 1.0, 0.0]))
+    return jnp.where(n2 > 1e-20, n, jnp.array([0.0, 1.0, 0.0]))
 
 
 def laplacian_smooth_loss(mesh: TetMesh) -> jax.Array:
@@ -145,7 +147,9 @@ def normal_consistency_loss(mesh: TetMesh) -> jax.Array:
     v1 = mesh.verts[mesh.faces[:, 1]]
     v2 = mesh.verts[mesh.faces[:, 2]]
     fn = jnp.cross(v1 - v0, v2 - v0)
-    fn = fn / (jnp.linalg.norm(fn, axis=-1, keepdims=True) + 1e-12)   # [T, 3]
+    # NaN-safe normalize (padded faces have fn == 0; see vertex_normals)
+    fn2 = jnp.sum(fn * fn, axis=-1, keepdims=True)
+    fn = fn * jax.lax.rsqrt(jnp.maximum(fn2, 1e-20))                  # [T, 3]
 
     E = mesh.verts.shape[0]
     T = mesh.faces.shape[0]

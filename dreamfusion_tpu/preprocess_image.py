@@ -1,0 +1,189 @@
+"""Image preprocessing for image-conditioned (zero123) training.
+
+TPU-side re-design of /root/reference/preprocess_image.py: produces
+`X_rgba.png` (+ optional `X_depth.png`, `X_normal.png`) consumed by
+training/image_data.load_ref_images (reference nerf/utils.py:375-402).
+
+The reference stack (carvekit matting, omnidata DPT depth/normal,
+BLIP2 captioning) needs pretrained downloads; this environment is
+zero-egress, so each stage degrades gracefully:
+
+  * background removal — carvekit/rembg if importable, otherwise a
+    classical cv2 GrabCut matte seeded by the image border (no weights);
+  * depth — a local `--dpt_path` transformers DPT checkpoint if provided,
+    otherwise skipped;
+  * normal — the omnidata normal model if available via `--dpt_path`
+    convention, otherwise finite-difference normals from the depth map,
+    otherwise skipped.
+
+CLI:  python -m dreamfusion_tpu.preprocess_image image.png
+      [--size 256] [--border_ratio 0.2] [--dpt_path /path] [--recenter 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# background removal
+# ---------------------------------------------------------------------------
+
+class BackgroundRemoval:
+    """carvekit → rembg → GrabCut, first available wins
+    (reference preprocess_image.py:14-39)."""
+
+    def __init__(self):
+        self.backend = "grabcut"
+        try:
+            from carvekit.api.high import HiInterface  # noqa: F401
+            self.backend = "carvekit"
+        except Exception:
+            try:
+                import rembg  # noqa: F401
+                self.backend = "rembg"
+            except Exception:
+                pass
+
+    def __call__(self, rgb: np.ndarray) -> np.ndarray:
+        """[H, W, 3] uint8 → [H, W, 4] uint8 rgba."""
+        if self.backend == "carvekit":
+            from PIL import Image
+
+            from carvekit.api.high import HiInterface
+            iface = HiInterface(object_type="object", batch_size_seg=1,
+                                batch_size_matting=1)
+            out = iface([Image.fromarray(rgb)])[0]
+            return np.asarray(out.convert("RGBA"))
+        if self.backend == "rembg":
+            import rembg
+            return np.asarray(rembg.remove(rgb))
+        return self._grabcut(rgb)
+
+    @staticmethod
+    def _grabcut(rgb: np.ndarray, iters: int = 5) -> np.ndarray:
+        import cv2
+        h, w = rgb.shape[:2]
+        mask = np.zeros((h, w), np.uint8)
+        # seed: everything probable-foreground except a border band
+        b = max(2, int(0.02 * min(h, w)))
+        rect = (b, b, w - 2 * b, h - 2 * b)
+        bgd = np.zeros((1, 65), np.float64)
+        fgd = np.zeros((1, 65), np.float64)
+        cv2.grabCut(rgb, mask, rect, bgd, fgd, iters, cv2.GC_INIT_WITH_RECT)
+        alpha = np.where((mask == cv2.GC_FGD) | (mask == cv2.GC_PR_FGD),
+                         255, 0).astype(np.uint8)
+        # clean speckles
+        kernel = np.ones((3, 3), np.uint8)
+        alpha = cv2.morphologyEx(alpha, cv2.MORPH_OPEN, kernel)
+        alpha = cv2.morphologyEx(alpha, cv2.MORPH_CLOSE, kernel)
+        return np.dstack([rgb, alpha])
+
+
+# ---------------------------------------------------------------------------
+# depth / normal
+# ---------------------------------------------------------------------------
+
+def estimate_depth(rgb: np.ndarray, dpt_path: Optional[str]
+                   ) -> Optional[np.ndarray]:
+    """[H, W, 3] uint8 → [H, W] float32 in [0,1], or None if no model."""
+    if not dpt_path or not os.path.exists(dpt_path):
+        return None
+    import torch
+    from transformers import DPTForDepthEstimation, DPTImageProcessor
+    proc = DPTImageProcessor.from_pretrained(dpt_path)
+    model = DPTForDepthEstimation.from_pretrained(dpt_path)
+    model.eval()
+    with torch.no_grad():
+        inputs = proc(images=rgb, return_tensors="pt")
+        depth = model(**inputs).predicted_depth[0].numpy()
+    import cv2
+    depth = cv2.resize(depth, (rgb.shape[1], rgb.shape[0]),
+                       interpolation=cv2.INTER_LINEAR)
+    lo, hi = depth.min(), depth.max()
+    return ((depth - lo) / (hi - lo + 1e-9)).astype(np.float32)
+
+
+def normal_from_depth(depth: np.ndarray, scale: float = 4.0) -> np.ndarray:
+    """Finite-difference surface normals from a depth map → [H, W, 3] in
+    [0,1] (omnidata-style encoding: n*0.5+0.5)."""
+    dzdx = np.gradient(depth, axis=1) * scale * depth.shape[1]
+    dzdy = np.gradient(depth, axis=0) * scale * depth.shape[0]
+    n = np.dstack([-dzdx, -dzdy, np.ones_like(depth)])
+    n = n / (np.linalg.norm(n, axis=-1, keepdims=True) + 1e-9)
+    return (n * 0.5 + 0.5).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# recenter / resize (reference preprocess_image.py:163-190)
+# ---------------------------------------------------------------------------
+
+def recenter(rgba: np.ndarray, size: int, border_ratio: float = 0.2
+             ) -> np.ndarray:
+    import cv2
+    alpha = rgba[..., 3]
+    ys, xs = np.nonzero(alpha > 10)
+    if len(ys) == 0:
+        return cv2.resize(rgba, (size, size), interpolation=cv2.INTER_AREA)
+    y0, y1, x0, x1 = ys.min(), ys.max() + 1, xs.min(), xs.max() + 1
+    crop = rgba[y0:y1, x0:x1]
+    h, w = crop.shape[:2]
+    desired = int(size * (1 - border_ratio))
+    scale = desired / max(h, w)
+    nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+    crop = cv2.resize(crop, (nw, nh), interpolation=cv2.INTER_AREA)
+    out = np.zeros((size, size, 4), rgba.dtype)
+    oy, ox = (size - nh) // 2, (size - nw) // 2
+    out[oy:oy + nh, ox:ox + nw] = crop
+    return out
+
+
+# ---------------------------------------------------------------------------
+
+def preprocess(path: str, size: int = 256, border_ratio: float = 0.2,
+               dpt_path: Optional[str] = None, do_recenter: bool = True
+               ) -> Tuple[str, Optional[str], Optional[str]]:
+    from PIL import Image
+
+    img = np.asarray(Image.open(path).convert("RGB"))
+    rgba = BackgroundRemoval()(img)
+    if do_recenter:
+        rgba = recenter(rgba, size, border_ratio)
+
+    base = os.path.splitext(path)[0]
+    rgba_path = f"{base}_rgba.png"
+    Image.fromarray(rgba).save(rgba_path)
+
+    depth_path = normal_path = None
+    depth = estimate_depth(rgba[..., :3], dpt_path)
+    if depth is not None:
+        depth = depth * (rgba[..., 3] > 10)
+        depth_path = f"{base}_depth.png"
+        Image.fromarray((depth * 255).astype(np.uint8)).save(depth_path)
+        normal = normal_from_depth(depth)
+        normal_path = f"{base}_normal.png"
+        Image.fromarray((normal * 255).astype(np.uint8)).save(normal_path)
+    return rgba_path, depth_path, normal_path
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("preprocess_image")
+    ap.add_argument("path", type=str)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--border_ratio", type=float, default=0.2)
+    ap.add_argument("--dpt_path", type=str, default=None,
+                    help="local transformers DPT checkpoint dir (optional)")
+    ap.add_argument("--recenter", type=int, default=1)
+    args = ap.parse_args(argv)
+    outs = preprocess(args.path, args.size, args.border_ratio,
+                      args.dpt_path, bool(args.recenter))
+    print("wrote:", *[o for o in outs if o])
+    return outs
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,268 @@
+"""DMTet refinement-stage trainer.
+
+TPU-native re-design of the reference's second stage
+(`--dmtet --init_with ckpt`, /root/reference/main.py:253-274,317-329;
+train path nerf/renderer.py:862-964):
+
+  * trainable (sdf, deform) on a tetrahedral grid + the NeRF MLP reused as
+    a texture field (frozen with --lock_geo only the geometry freezes —
+    reference network_grid.py:168-170 keeps MLP params trainable);
+  * one jitted step: marching tets → tile rasterization → albedo query →
+    lambertian shading → SDS + normal-consistency + Laplacian regularizers
+    → Adan update → EMA;
+  * stage bootstrap: load the stage-1 orbax checkpoint, scale the tet grid
+    to the occupied region, init sdf = clamp(σ − thresh) (renderer.py:817-859).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..mesh.tets import generate_tet_grid, load_tet_grid
+from ..models.dmtet import DMTetParams, DMTetRenderer
+from . import schedules
+from .data import circle_view_batch, sample_train_batch, six_view_batch
+from .trainer import Trainer
+
+
+@flax.struct.dataclass
+class DMTetState:
+    params: Any                  # {"nerf": ..., "geo": {"sdf", "deform"}}
+    opt_state: Any
+    ema_params: Any
+    tet_scale: jax.Array         # [3], fixed after init (renderer.py:846)
+    step: jax.Array
+
+
+class DMTetTrainer(Trainer):
+    def __init__(self, cfg: Config, tet_grid=None, max_tris: Optional[int] = None,
+                 **kw):
+        super().__init__(cfg, **kw)
+        if tet_grid is None:
+            npz = os.path.join(os.path.dirname(__file__), os.pardir, os.pardir,
+                               "tets", f"{cfg.tet_grid_size}_tets.npz")
+            tet_grid = load_tet_grid(npz) if os.path.exists(npz) \
+                else generate_tet_grid(cfg.tet_grid_size)
+        if max_tris is None:
+            # surface ∝ T²; generous head-room, floor for tiny test grids
+            max_tris = max(1 << 13, 24 * cfg.tet_grid_size ** 2)
+        max_tris = min(max_tris, 2 * tet_grid.num_tets)
+        self.dmtet_renderer = DMTetRenderer(tet_grid, max_tris=max_tris)
+        self.needs_density_grid = False
+
+    # ------------------------------------------------------------------
+    def _nerf_density_fn(self, nerf_params, name: str):
+        renderer = self.renderer
+
+        def fn(x):
+            return renderer.apply({"params": nerf_params}, x,
+                                  method=renderer.density)[name]
+        return fn
+
+    # ------------------------------------------------------------------
+    def init_state(self, key: jax.Array,
+                   nerf_ckpt: Optional[str] = None) -> DMTetState:
+        """Bootstrap from a stage-1 checkpoint (main.py:317-329) or, with no
+        checkpoint, from a unit sphere SDF (for tests / cold starts)."""
+        cfg = self.cfg
+        nerf_params = self._load_nerf_params(nerf_ckpt or cfg.init_with, key)
+        if nerf_ckpt or cfg.init_with:
+            geo = self.dmtet_renderer.init_params_from_density(
+                jax.jit(self._nerf_density_fn(nerf_params, "sigma")),
+                cfg.density_thresh)
+        else:
+            geo = self.dmtet_renderer.init_params_sphere(radius=0.5)
+        params = {"nerf": nerf_params,
+                  "geo": {"sdf": geo.sdf, "deform": geo.deform}}
+        return DMTetState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            ema_params=params,
+            tet_scale=geo.tet_scale,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def _load_nerf_params(self, ckpt: str, key: jax.Array):
+        from ..models.renderer import RenderFlags
+        ro = jnp.zeros((64, 3))
+        rd = jnp.ones((64, 3))
+        occ = jnp.ones((self.cfg.cascade, self.cfg.grid_size,
+                        self.cfg.grid_size, self.cfg.grid_size), bool)
+        variables = self.renderer.init(
+            {"params": key, "render": key}, RenderFlags(), ro, rd,
+            occ_grid=occ if self.cfg.backbone == "grid" else None,
+            method=self.renderer.render)
+        params = variables["params"]
+        if not ckpt:
+            return params
+        import orbax.checkpoint as ocp
+        if os.path.isdir(ckpt) and not os.path.exists(
+                os.path.join(ckpt, "_CHECKPOINT_METADATA")):
+            # workspace/checkpoints dir → newest checkpoint inside
+            import glob as _glob
+            cands = sorted(d for d in _glob.glob(os.path.join(ckpt, "df_ep*"))
+                           if os.path.isdir(d))
+            if not cands:
+                raise FileNotFoundError(f"no checkpoints under {ckpt}")
+            ckpt = cands[-1]
+        raw = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt))
+        src = raw.get("ema_params", raw.get("params", raw))
+        restored = flax.serialization.from_state_dict(params, src)
+        self.log(f"[dmtet] loaded stage-1 field from {ckpt}")
+        return restored
+
+    # ------------------------------------------------------------------
+    def _make_train_step(self, phase: str):
+        cfg = self.cfg
+        renderer = self.renderer
+        dmr = self.dmtet_renderer
+        optimizer = self.optimizer
+        H, W = cfg.h, cfg.w
+
+        def loss_fn(params, state: DMTetState, key: jax.Array, gparams):
+            k_batch, k_choice, k_guide = jax.random.split(key, 3)
+            step = state.step
+            r_exp = schedules.iter_ratio(step, cfg.exp_start_iter or 0,
+                                         cfg.exp_end_iter or cfg.iters)
+            batch = sample_train_batch(k_batch, cfg, H, W)
+            choices = schedules.sample_step_choices(cfg, k_choice, r_exp)
+
+            geo = DMTetParams(sdf=params["geo"]["sdf"],
+                              deform=params["geo"]["deform"],
+                              tet_scale=state.tet_scale)
+            albedo_fn = self._nerf_density_fn(params["nerf"], "albedo")
+
+            def render_one(mvp, ro, rd):
+                return dmr.render(
+                    geo, albedo_fn, mvp, H, W, ro, rd,
+                    ambient_ratio=choices.ambient_ratio,
+                    shading="lambertian", bg_color=choices.bg_color,
+                    need_regularizers=True)
+
+            out = jax.vmap(render_one)(batch.mvp, batch.rays_o, batch.rays_d)
+            pred_rgb = out["image"]                       # [B, H, W, 3]
+
+            loss = self._guidance_loss(gparams, k_guide, pred_rgb, batch,
+                                       as_latent=False)
+            metrics = {"loss_sds": loss}
+            # mesh regularizers (utils.py:715-721)
+            if cfg.lambda_mesh_normal > 0:
+                loss = loss + cfg.lambda_mesh_normal * \
+                    jnp.mean(out["normal_loss"])
+            if cfg.lambda_mesh_laplacian > 0:
+                loss = loss + cfg.lambda_mesh_laplacian * \
+                    jnp.mean(out["lap_loss"])
+            metrics["loss"] = loss
+            return loss, metrics
+
+        @jax.jit
+        def train_step(state: DMTetState, key: jax.Array, gparams):
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state, key, gparams)
+            if cfg.lock_geo:
+                grads = {**grads,
+                         "geo": jax.tree.map(jnp.zeros_like, grads["geo"])}
+            updates, new_opt = optimizer.update(grads, state.opt_state,
+                                                state.params)
+            if cfg.lock_geo:
+                updates = {**updates,
+                           "geo": jax.tree.map(jnp.zeros_like,
+                                               updates["geo"])}
+            new_params = optax.apply_updates(state.params, updates)
+            decay = cfg.ema_decay
+            new_ema = jax.tree.map(lambda e, p: decay * e + (1 - decay) * p,
+                                   state.ema_params, new_params)
+            return state.replace(params=new_params, opt_state=new_opt,
+                                 ema_params=new_ema,
+                                 step=state.step + 1), metrics
+
+        gp_dev = self._guidance_params_on_device()
+        return lambda state, key: train_step(state, key, gp_dev)
+
+    # ------------------------------------------------------------------
+    def _make_eval_fn(self, H: int, W: int):
+        dmr = self.dmtet_renderer
+
+        @jax.jit
+        def eval_fn(params, tet_scale, mvp, ro, rd):
+            geo = DMTetParams(sdf=params["geo"]["sdf"],
+                              deform=params["geo"]["deform"],
+                              tet_scale=tet_scale)
+            out = dmr.render(geo,
+                             self._nerf_density_fn(params["nerf"], "albedo"),
+                             mvp, H, W, ro, rd,
+                             ambient_ratio=1.0, shading="albedo",
+                             bg_color=1.0)
+            return out["image"], out["depth"], out["weights_sum"]
+
+        return eval_fn
+
+    def _render_view(self, state: DMTetState, batch, H, W):
+        if self._eval_fn is None:
+            self._eval_fn = self._make_eval_fn(H, W)
+        img, depth, _ = self._eval_fn(
+            state.ema_params, state.tet_scale, batch.mvp[0],
+            batch.rays_o[0], batch.rays_d[0])
+        return np.asarray(img), np.asarray(depth)
+
+    def evaluate(self, state: DMTetState, n_views: Optional[int] = None):
+        cfg = self.cfg
+        H, W = cfg.h, cfg.w
+        n_views = n_views or min(cfg.dataset_size_valid, 4)
+        from ..utils.image import save_image
+        for i in range(n_views):
+            batch = circle_view_batch(cfg, i, n_views, H, W)
+            img, _ = self._render_view(state, batch, H, W)
+            save_image(os.path.join(
+                self.workspace, "validation",
+                f"df_ep{self.epoch:04d}_{i:04d}_rgb.png"), img)
+
+    def test(self, state: DMTetState, n_frames: Optional[int] = None,
+             write_video: bool = True, six_views: bool = False):
+        cfg = self.cfg
+        H, W = cfg.h, cfg.w
+        from ..utils.image import colorize_depth, save_image, save_video
+        frames, depths = [], []
+        n = 6 if six_views else (n_frames or cfg.dataset_size_test)
+        for i in range(n):
+            batch = six_view_batch(cfg, i, H, W) if six_views else \
+                circle_view_batch(cfg, i, n, H, W)
+            img, depth = self._render_view(state, batch, H, W)
+            frames.append(img)
+            depths.append(depth)
+        rd = os.path.join(self.workspace, "results")
+        if write_video and not six_views:
+            save_video(os.path.join(rd, "df_rgb.mp4"), frames)
+            save_video(os.path.join(rd, "df_depth.mp4"),
+                       [colorize_depth(d) for d in depths])
+        else:
+            for i, f in enumerate(frames):
+                save_image(os.path.join(rd, f"df_{i:04d}_rgb.png"), f)
+        return frames
+
+    # ------------------------------------------------------------------
+    def extract_dmtet_mesh(self, state: DMTetState
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        """Marching-tets surface of the (EMA) geometry, compacted on host
+        (feeds mesh/export.py; reference renderer.py:376-379)."""
+        p = state.ema_params["geo"]
+        geo = DMTetParams(sdf=p["sdf"], deform=p["deform"],
+                          tet_scale=state.tet_scale)
+        mesh = jax.jit(self.dmtet_renderer.extract_mesh)(geo)
+        verts = np.asarray(mesh.verts)
+        faces = np.asarray(mesh.faces)
+        mask = np.asarray(mesh.face_mask)
+        faces = faces[mask]
+        used = np.unique(faces)
+        remap = np.full(len(verts), -1, np.int64)
+        remap[used] = np.arange(len(used))
+        return verts[used].astype(np.float32), \
+            remap[faces].astype(np.int32)

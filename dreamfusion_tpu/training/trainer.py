@@ -116,6 +116,16 @@ class Trainer:
         self._train_step_latent = None
         self._update_grid_fn = None
         self._eval_fn = None
+        # subclasses (DMTetTrainer) opt out of occupancy-grid maintenance
+        self.needs_density_grid = cfg.backbone == "grid" and not cfg.dmtet
+
+    # ------------------------------------------------------------------
+    def _guidance_params_on_device(self):
+        """Frozen guidance weights as device arrays, uploaded once and fed
+        to jitted steps as arguments (see _guidance_loss)."""
+        if not hasattr(self, "_gp_dev") or self._gp_dev is None:
+            self._gp_dev = jax.device_put(self.guidance_params)
+        return self._gp_dev
 
     # ------------------------------------------------------------------
     def log(self, msg: str):
@@ -152,14 +162,19 @@ class Trainer:
         return state
 
     # ------------------------------------------------------------------
-    # guidance loss over all configured priors (utils.py:594-686)
-    def _guidance_loss(self, key: jax.Array, pred_rgb: jax.Array,
+    # guidance loss over all configured priors (utils.py:594-686).
+    # `gparams` is passed as a jit ARGUMENT (not closed over): the frozen
+    # SD/IF/zero123 weights are ~1-2 GB — closure capture would bake them
+    # into the HLO as literal constants, exploding compile time and the
+    # serialized program shipped to the TPU compile service.
+    def _guidance_loss(self, gparams: Dict[str, Any], key: jax.Array,
+                       pred_rgb: jax.Array,
                        batch: CameraBatch, as_latent: bool) -> jax.Array:
         cfg = self.cfg
         loss = jnp.zeros(())
         keys = jax.random.split(key, max(len(self.guidances), 1))
         for i, (name, g) in enumerate(sorted(self.guidances.items())):
-            gp = self.guidance_params[name]
+            gp = gparams[name]
             emb = self.embeddings[name]
             if name in ("SD", "IF"):
                 B = pred_rgb.shape[0]
@@ -211,7 +226,7 @@ class Trainer:
                                or cfg.lambda_normal > 0) and not latent_phase,
         )
 
-        def loss_fn(params, state: TrainState, key: jax.Array):
+        def loss_fn(params, state: TrainState, key: jax.Array, gparams):
             k_batch, k_choice, k_render, k_guide, k_tv = jax.random.split(key, 5)
             step = state.step
             r_exp = schedules.iter_ratio(step, cfg.exp_start_iter or 0,
@@ -259,7 +274,7 @@ class Trainer:
             else:
                 pred_rgb = image
 
-            loss = self._guidance_loss(k_guide, pred_rgb, batch,
+            loss = self._guidance_loss(gparams, k_guide, pred_rgb, batch,
                                        as_latent=latent_phase)
             metrics = {"loss_sds": loss}
 
@@ -311,9 +326,9 @@ class Trainer:
             return loss, metrics
 
         @jax.jit
-        def train_step(state: TrainState, key: jax.Array):
+        def train_step(state: TrainState, key: jax.Array, gparams):
             (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params, state, key)
+                loss_fn, has_aux=True)(state.params, state, key, gparams)
             updates, new_opt = self.optimizer.update(
                 grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
@@ -325,7 +340,8 @@ class Trainer:
                                  ema_params=new_ema, step=state.step + 1), \
                 metrics
 
-        return train_step
+        gp_dev = self._guidance_params_on_device()
+        return lambda state, key: train_step(state, key, gp_dev)
 
     # ------------------------------------------------------------------
     def _make_known_view_step(self):
@@ -468,7 +484,7 @@ class Trainer:
             self._train_step_main = self._make_train_step("main")
             if cfg.latent_iter_ratio > 0:
                 self._train_step_latent = self._make_train_step("latent")
-            if cfg.backbone == "grid":
+            if self.needs_density_grid:
                 self._update_grid_fn = self._make_update_grid()
             if self.ref_images is not None:
                 self._known_view_step = self._make_known_view_step()
@@ -483,7 +499,7 @@ class Trainer:
         while self.global_step < max_steps:
             key, k_step, k_grid = jax.random.split(key, 3)
 
-            if cfg.backbone == "grid" and \
+            if self.needs_density_grid and \
                     self.global_step % cfg.update_extra_interval == 0:
                 state = self._update_grid_fn(state, k_grid)
 
@@ -503,9 +519,9 @@ class Trainer:
                 self.stats["loss"].append(loss)
                 dt = time.time() - t0
                 done = self.global_step - start
+                md = float(getattr(state, "mean_density", 0.0))
                 self.log(f"[step {self.global_step}/{max_steps}] "
-                         f"loss={loss:.4f} mean_density="
-                         f"{float(state.mean_density):.3f} "
+                         f"loss={loss:.4f} mean_density={md:.3f} "
                          f"({done / dt:.2f} it/s)")
                 self.epoch = self.global_step // cfg.dataset_size_train
                 if cfg.eval_interval > 0 and \
@@ -576,6 +592,10 @@ class Trainer:
         with open(path + ".meta.json", "w") as f:
             json.dump({"global_step": self.global_step, "epoch": self.epoch,
                        "stats": {"loss": self.stats["loss"][-5:]}}, f)
+        # re-saving the same epoch must not register a duplicate entry —
+        # retention would otherwise delete the path it just wrote
+        if path in self.stats["checkpoints"]:
+            self.stats["checkpoints"].remove(path)
         self.stats["checkpoints"].append(path)
         # rolling retention (utils.py:1231-1235)
         while len(self.stats["checkpoints"]) > self.cfg.max_keep_ckpt:

@@ -26,19 +26,22 @@ def load_image(path: str) -> np.ndarray:
     return np.asarray(Image.open(path)).astype(np.float32) / 255.0
 
 
-def save_video(path: str, frames: List[np.ndarray], fps: int = 25) -> None:
+def save_video(path: str, frames: List[np.ndarray], fps: int = 25) -> str:
     """mp4 via imageio (reference utils.py:880-885); falls back to per-frame
-    pngs if no video backend is available."""
+    pngs if no video backend is available.  Returns the written path (the
+    first png's path under the fallback)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arr = np.stack([to_uint8(f) for f in frames])
     try:
         import imageio
         imageio.mimwrite(path, arr, fps=fps, quality=8,
                          macro_block_size=1)
+        return path
     except Exception:
         base = os.path.splitext(path)[0]
         for i, f in enumerate(arr):
             save_image(f"{base}_{i:04d}.png", f / 255.0)
+        return f"{base}_0000.png"
 
 
 def colorize_depth(depth: np.ndarray) -> np.ndarray:

@@ -38,3 +38,42 @@ def cast_floating(tree, dtype):
 
 def count_params(tree) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
+
+
+def save_params_npz(path: str, tree):
+    """Flatten a params pytree to an .npz keyed by '/'-joined paths."""
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                       for k in kp)
+        flat[key] = np.asarray(leaf)
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str, template):
+    """Inverse of save_params_npz: fill `template`'s structure from the
+    npz; missing keys keep the template's values, shape mismatches raise."""
+    data = np.load(path)
+
+    def lookup(kp, leaf):
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                       for k in kp)
+        if key not in data.files:
+            return leaf
+        arr = data[key]
+        if arr.shape != tuple(leaf.shape):
+            raise ValueError(f"{key}: npz shape {arr.shape} != template "
+                             f"{tuple(leaf.shape)}")
+        return jnp.asarray(arr)
+
+    return jax.tree_util.tree_map_with_path(lookup, template)
+
+
+def maybe_load_params(root: str, name: str, template):
+    """Load `<root>/<name>.npz` into template if present, else return the
+    template unchanged (zero-egress-friendly weight plumbing)."""
+    import os
+    path = os.path.join(root, f"{name}.npz") if os.path.isdir(root) else root
+    if os.path.exists(path):
+        return load_params_npz(path, template)
+    return template

@@ -25,7 +25,8 @@ import time
 BASELINE_IT_S = 10000.0 / (15.0 * 60.0)  # 11.11 it/s
 
 
-def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64):
+def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
+              backbone: str = "grid"):
     import os
 
     import jax
@@ -61,7 +62,7 @@ def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64):
     else:
         cfg = finalize(Config(
             text="a highly detailed hamburger", workspace="/tmp/dftpu_bench",
-            backbone="grid", w=render_hw, h=render_hw,
+            backbone=backbone, w=render_hw, h=render_hw,
             latent_iter_ratio=0.0, fp16=True, seed=0,
             lambda_3d_normal_smooth=0.0,
         ))
@@ -120,6 +121,7 @@ def main():
                     help="tiny CPU-runnable variant")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--hw", type=int, default=64)
+    ap.add_argument("--backbone", type=str, default="grid")
     args = ap.parse_args()
 
     if args.smoke:
@@ -128,7 +130,8 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    it_s = run_bench(smoke=args.smoke, steps=args.steps, render_hw=args.hw)
+    it_s = run_bench(smoke=args.smoke, steps=args.steps, render_hw=args.hw,
+                     backbone=args.backbone)
     print(json.dumps({
         "metric": "sds_iterations_per_sec",
         "value": round(it_s, 3),

@@ -105,6 +105,13 @@ class Config:
     grid_base_resolution: int = 16
     grid_desired_resolution: int = 2048
     grid_interpolation: str = "smoothstep"  # linear | smoothstep
+    # triplane backbone (TPU-first encoder — see ops/triplane.py)
+    triplane_resolution: int = 256
+    triplane_channels: int = 16
+    triplane_scales: int = 2
+    # 'autograd' | 'finite_difference' (reference network_grid.py:81-96)
+    normal_mode: str = "autograd"
+    use_tensorboard: bool = True   # scalars under workspace/run (utils.py:1080)
     # vanilla freq encoding (network.py:97-100)
     freq_multires: int = 6
     freq_multires_bg: int = 4

@@ -173,3 +173,50 @@ class IFGuidance:
             images = self.schedule.ddim_step(
                 images, eps_g, jnp.full((B,), t), jnp.full((B,), t_prev))
         return jnp.clip(images / 2 + 0.5, 0, 1)
+
+
+def _main(argv=None):
+    """Standalone pixel-space txt2img sanity CLI (reference
+    if_utils.py:205-230): python -m dreamfusion_tpu.guidance.deepfloyd
+    "prompt" [--tiny] [--weights dir] [--steps 20] [--out p.png]"""
+    import argparse
+    import os
+
+    import numpy as np
+
+    ap = argparse.ArgumentParser("deepfloyd-if txt2img")
+    ap.add_argument("prompt", type=str)
+    ap.add_argument("--negative", default="")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--weights", default=None)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--scale", type=float, default=7.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="if_sample.png")
+    args = ap.parse_args(argv)
+
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..utils.image import save_image
+
+    g = IFGuidance(IFConfig(tiny=args.tiny))
+    params = g.init_params(jax.random.PRNGKey(args.seed))
+    if args.weights:
+        from ..utils.params import maybe_load_params
+        for k in params:
+            params[k] = maybe_load_params(
+                os.path.join(args.weights, f"{k}.npz"), k, params[k])
+    # IF embeds via T5 (its own prepare_embeddings handles the no-weights
+    # fallback; reference if_utils.py:66-68)
+    emb = g.prepare_embeddings(params, args.prompt, negative=args.negative)
+    img = g.produce_imgs(params, jax.random.PRNGKey(args.seed),
+                         emb["default"], emb["uncond"],
+                         num_inference_steps=args.steps,
+                         guidance_scale=args.scale)
+    save_image(args.out, np.asarray(img[0]))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    _main()

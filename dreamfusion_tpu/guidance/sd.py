@@ -232,3 +232,56 @@ class StableDiffusionGuidance:
         latents = self.produce_latents(params, key, text_z_cond,
                                        text_z_uncond, **kw)
         return self.decode_latents(params, latents)
+
+
+def _main(argv=None):
+    """Standalone txt2img sanity CLI (reference sd_utils.py:318-346):
+    python -m dreamfusion_tpu.guidance.sd "a photo of a hamburger"
+    [--tiny] [--weights dir-of-npz] [--steps 50] [--scale 7.5] [--out p.png]
+    """
+    import argparse
+    import os
+
+    import numpy as np
+
+    ap = argparse.ArgumentParser("sd txt2img")
+    ap.add_argument("prompt", type=str)
+    ap.add_argument("--negative", default="")
+    ap.add_argument("--sd_version", default="2.1")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--weights", default=None,
+                    help="dir with unet.npz/vae.npz/text.npz (utils.convert)")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--scale", type=float, default=7.5)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="sd_sample.png")
+    args = ap.parse_args(argv)
+
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..utils.image import save_image
+    from .embeddings import prepare_text_embeddings
+
+    g = StableDiffusionGuidance(
+        SDConfig(sd_version=args.sd_version, tiny=args.tiny,
+                 **({"image_size": 16, "latent_size": 8} if args.tiny else {})))
+    params = g.init_params(jax.random.PRNGKey(args.seed))
+    if args.weights:
+        from ..utils.params import maybe_load_params
+        for k in ("unet", "vae", "text"):
+            params[k] = maybe_load_params(
+                os.path.join(args.weights, f"{k}.npz"), k, params[k])
+    emb = prepare_text_embeddings(g, params, args.prompt,
+                                  negative=args.negative,
+                                  pretrained_root=args.weights)
+    img = g.prompt_to_img(params, jax.random.PRNGKey(args.seed),
+                          emb["default"], emb["uncond"],
+                          num_inference_steps=args.steps,
+                          guidance_scale=args.scale)
+    save_image(args.out, np.asarray(img[0]))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    _main()

@@ -297,3 +297,55 @@ class Zero123Guidance:
             latents = self.schedule.ddim_step(
                 latents, eps_g, jnp.full((B,), tcur), jnp.full((B,), t_prev))
         return self.decode_latents(params, latents)
+
+
+def _main(argv=None):
+    """Standalone novel-view synthesis sanity CLI (reference
+    zero123_utils.py:288-320): python -m dreamfusion_tpu.guidance.zero123
+    --image x_rgba.png --polar -20 --azimuth 40 [--weights dir]"""
+    import argparse
+    import os
+
+    ap = argparse.ArgumentParser("zero123 novel view")
+    ap.add_argument("--image", required=True)
+    ap.add_argument("--polar", type=float, default=0.0,
+                    help="delta polar vs the reference view (deg)")
+    ap.add_argument("--azimuth", type=float, default=30.0)
+    ap.add_argument("--radius", type=float, default=0.0)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--weights", default=None)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--scale", type=float, default=3.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="zero123_sample.png")
+    args = ap.parse_args(argv)
+
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from PIL import Image
+
+    from ..utils.image import save_image
+
+    g = Zero123Guidance(Zero123Config(tiny=args.tiny))
+    params = g.init_params(jax.random.PRNGKey(args.seed))
+    if args.weights:
+        from ..utils.params import maybe_load_params
+        for k in ("unet", "vae", "vision", "cc_projection"):
+            params[k] = maybe_load_params(
+                os.path.join(args.weights, f"{k}.npz"), k, params[k])
+    rgba = np.asarray(Image.open(args.image).convert("RGBA"),
+                      np.float32) / 255.0
+    rgb = rgba[..., :3] * rgba[..., 3:] + (1 - rgba[..., 3:])  # white bg
+    emb = g.prepare_image_embeddings(params, rgb[None])
+    img = g.novel_view(params, jax.random.PRNGKey(args.seed), emb,
+                       jnp.asarray([args.polar]), jnp.asarray([args.azimuth]),
+                       jnp.asarray([args.radius]),
+                       num_inference_steps=args.steps,
+                       guidance_scale=args.scale)
+    save_image(args.out, np.asarray(img[0]))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    _main()

@@ -176,6 +176,11 @@ def main(argv=None):
 
     import jax
 
+    # honor JAX_PLATFORMS=cpu even when a TPU PJRT plugin force-registered
+    # itself at interpreter start (the env var alone loses that fight)
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     from .training.trainer import Trainer
 
     if cfg.seed is not None:

@@ -17,6 +17,8 @@ from dataclasses import dataclass
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+
+from ..ops.conv import MMConv
 import jax
 import jax.numpy as jnp
 
@@ -140,7 +142,7 @@ class CLIPVisionEncoder(nn.Module):
         last_hidden [B, 1+P, hidden])."""
         cfg = self.cfg
         B = pixels.shape[0]
-        patches = nn.Conv(cfg.hidden_size,
+        patches = MMConv(cfg.hidden_size,
                           (cfg.patch_size, cfg.patch_size),
                           strides=cfg.patch_size, use_bias=False,
                           dtype=cfg.dtype, name="patch_embed")(

@@ -31,6 +31,7 @@ from ..core.math import safe_normalize
 from ..ops.activation import density_activation
 from ..ops.freq import freq_encode, freq_encode_dim
 from ..ops.hashgrid import HashGridSpec, hash_encode, init_hashgrid
+from ..ops.triplane import TriplaneSpec, init_triplane, triplane_encode
 
 SHADING_ALBEDO = 0
 SHADING_LAMBERTIAN = 1
@@ -95,7 +96,7 @@ class ResMLP(nn.Module):
 
 
 class NeRFField(nn.Module):
-    backbone: str = "grid"                 # grid | vanilla
+    backbone: str = "grid"                 # grid | vanilla | triplane
     bound: float = 1.0
     hidden_dim: int = 64
     num_layers: int = 3
@@ -113,6 +114,14 @@ class NeRFField(nn.Module):
     freq_multires: int = 12                # vanilla main encoding
     freq_multires_bg: int = 6              # bg encoding (network_grid.py:62)
     vanilla_num_layers: int = 5
+    triplane_resolution: int = 256
+    triplane_channels: int = 16
+    triplane_scales: int = 2
+    # normals: 'autograd' (jax.grad of σ — one extra VJP) or
+    # 'finite_difference' (6 probe evals; reference network_grid.py:81-96).
+    # autograd is the TPU-native default: the hash/triplane gathers are
+    # row-latency-bound, so 6 extra probe passes cost far more than one VJP.
+    normal_mode: str = "autograd"
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     def setup(self):
@@ -129,6 +138,17 @@ class NeRFField(nn.Module):
                 lambda key: init_hashgrid(key, self.grid_spec),
             )
             in_dim = self.grid_spec.output_dim
+            self.sigma_net = BasicMLP(4, self.hidden_dim, self.num_layers,
+                                      dtype=self.compute_dtype, name="sigma_net")
+        elif self.backbone == "triplane":
+            self.triplane_spec = TriplaneSpec(
+                resolution=self.triplane_resolution,
+                channels=self.triplane_channels,
+                num_scales=self.triplane_scales)
+            self.triplanes = self.param(
+                "triplanes",
+                lambda key: init_triplane(key, self.triplane_spec))
+            in_dim = self.triplane_spec.output_dim
             self.sigma_net = BasicMLP(4, self.hidden_dim, self.num_layers,
                                       dtype=self.compute_dtype, name="sigma_net")
         elif self.backbone == "vanilla":
@@ -151,6 +171,11 @@ class NeRFField(nn.Module):
             return hash_encode(u, self.grid_table, self.grid_spec,
                                max_level=max_level,
                                out_dtype=self.compute_dtype)
+        if self.backbone == "triplane":
+            u = (x + self.bound) / (2 * self.bound)
+            return triplane_encode(u, self.triplanes, self.triplane_spec,
+                                   max_level=max_level,
+                                   out_dtype=self.compute_dtype)
         return freq_encode(x, self.freq_multires, max_level=max_level).astype(
             self.compute_dtype
         )
@@ -181,7 +206,8 @@ class NeRFField(nn.Module):
     def normal(self, x: jax.Array,
                max_level: Optional[jax.Array] = None,
                eps: float = 1e-2) -> jax.Array:
-        if self.backbone == "grid":
+        if self.normal_mode == "finite_difference" and \
+                self.backbone != "vanilla":
             n = self._finite_difference_normal(x, max_level, eps)
         else:
             n = self._autograd_normal(x, max_level)

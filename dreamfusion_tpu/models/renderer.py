@@ -75,6 +75,10 @@ class NeRFRenderer(nn.Module):
     grid_log2_hashmap_size: int = 19
     grid_desired_resolution: int = 2048
     grid_interpolation: str = "smoothstep"
+    triplane_resolution: int = 256
+    triplane_channels: int = 16
+    triplane_scales: int = 2
+    normal_mode: str = "autograd"
     compute_dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -94,6 +98,10 @@ class NeRFRenderer(nn.Module):
             grid_log2_hashmap_size=self.grid_log2_hashmap_size,
             grid_desired_resolution=self.grid_desired_resolution,
             grid_interpolation=self.grid_interpolation,
+            triplane_resolution=self.triplane_resolution,
+            triplane_channels=self.triplane_channels,
+            triplane_scales=self.triplane_scales,
+            normal_mode=self.normal_mode,
             compute_dtype=self.compute_dtype,
             name="field",
         )
@@ -245,7 +253,7 @@ class NeRFRenderer(nn.Module):
         """Dispatch (reference renderer.py:1154-1186). rays [R, 3] flat."""
         if light_d is None:
             light_d = safe_normalize(rays_o)
-        if self.backbone == "grid" and occ_grid is not None:
+        if self.backbone in ("grid", "triplane") and occ_grid is not None:
             return self.render_grid(flags, rays_o, rays_d, occ_grid, light_d,
                                     ambient_ratio, shading, bg_color, max_level,
                                     use_bg_net)

@@ -24,6 +24,8 @@ from dataclasses import dataclass, field
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+
+from ..ops.conv import MMConv
 import jax
 import jax.numpy as jnp
 
@@ -106,16 +108,16 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb):
         h = nn.silu(GroupNorm32(dtype=self.dtype)(x))
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+        h = MMConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype,
                      name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
         h = nn.silu(GroupNorm32(dtype=self.dtype)(h))
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+        h = MMConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+            x = MMConv(self.out_channels, (1, 1), dtype=self.dtype,
                         name="shortcut")(x)
         return x + h
 
@@ -186,13 +188,13 @@ class SpatialTransformer(nn.Module):
         B, H, W, C = x.shape
         res = x
         h = GroupNorm32(dtype=self.dtype)(x)
-        h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_in")(h)
+        h = MMConv(C, (1, 1), dtype=self.dtype, name="proj_in")(h)
         h = h.reshape(B, H * W, C)
         for i in range(self.depth):
             h = TransformerBlock(self.num_heads, self.head_dim,
                                  dtype=self.dtype, name=f"block_{i}")(h, context)
         h = h.reshape(B, H, W, C)
-        h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        h = MMConv(C, (1, 1), dtype=self.dtype, name="proj_out")(h)
         return h + res
 
 
@@ -217,7 +219,7 @@ class UNet2DCondition(nn.Module):
         temb = nn.Dense(ch0 * 4, dtype=dt, name="time_dense_1")(nn.silu(temb))
         context = context.astype(dt)
 
-        h = nn.Conv(ch0, (3, 3), padding=1, dtype=dt, name="conv_in")(
+        h = MMConv(ch0, (3, 3), padding=1, dtype=dt, name="conv_in")(
             x.astype(dt))
         skips = [h]
 
@@ -233,7 +235,7 @@ class UNet2DCondition(nn.Module):
                         name=f"down_{lvl}_attn_{blk}")(h, context)
                 skips.append(h)
             if lvl != len(cfg.channel_mult) - 1:
-                h = nn.Conv(ch, (3, 3), strides=2, padding=1, dtype=dt,
+                h = MMConv(ch, (3, 3), strides=2, padding=1, dtype=dt,
                             name=f"down_{lvl}_downsample")(h)
                 skips.append(h)
 
@@ -259,10 +261,10 @@ class UNet2DCondition(nn.Module):
             if lvl != 0:
                 B, H, W, C = h.shape
                 h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
-                h = nn.Conv(ch, (3, 3), padding=1, dtype=dt,
+                h = MMConv(ch, (3, 3), padding=1, dtype=dt,
                             name=f"up_{lvl}_upsample")(h)
 
         h = nn.silu(GroupNorm32(dtype=dt)(h))
-        h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32,
+        h = MMConv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32,
                     name="conv_out")(h.astype(jnp.float32))
         return h

@@ -14,6 +14,8 @@ from dataclasses import dataclass
 from typing import Any, NamedTuple, Tuple
 
 import flax.linen as nn
+
+from ..ops.conv import MMConv
 import jax
 import jax.numpy as jnp
 
@@ -50,13 +52,13 @@ class VAEResnet(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = nn.silu(GroupNorm32(dtype=self.dtype)(x))
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+        h = MMConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
         h = nn.silu(GroupNorm32(dtype=self.dtype)(h))
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+        h = MMConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+            x = MMConv(self.out_channels, (1, 1), dtype=self.dtype,
                         name="shortcut")(x)
         return x + h
 
@@ -69,11 +71,11 @@ class VAEAttn(nn.Module):
     def __call__(self, x):
         B, H, W, C = x.shape
         h = GroupNorm32(dtype=self.dtype)(x)
-        q = nn.Conv(C, (1, 1), dtype=self.dtype, name="q")(h).reshape(B, H * W, 1, C)
-        k = nn.Conv(C, (1, 1), dtype=self.dtype, name="k")(h).reshape(B, H * W, 1, C)
-        v = nn.Conv(C, (1, 1), dtype=self.dtype, name="v")(h).reshape(B, H * W, 1, C)
+        q = MMConv(C, (1, 1), dtype=self.dtype, name="q")(h).reshape(B, H * W, 1, C)
+        k = MMConv(C, (1, 1), dtype=self.dtype, name="k")(h).reshape(B, H * W, 1, C)
+        v = MMConv(C, (1, 1), dtype=self.dtype, name="v")(h).reshape(B, H * W, 1, C)
         o = jax.nn.dot_product_attention(q, k, v).reshape(B, H, W, C)
-        return x + nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_out")(o)
+        return x + MMConv(C, (1, 1), dtype=self.dtype, name="proj_out")(o)
 
 
 class Encoder(nn.Module):
@@ -83,7 +85,7 @@ class Encoder(nn.Module):
     def __call__(self, x):
         cfg = self.cfg
         dt = cfg.dtype
-        h = nn.Conv(cfg.ch, (3, 3), padding=1, dtype=dt, name="conv_in")(
+        h = MMConv(cfg.ch, (3, 3), padding=1, dtype=dt, name="conv_in")(
             x.astype(dt))
         for lvl, mult in enumerate(cfg.ch_mult):
             ch = cfg.ch * mult
@@ -92,16 +94,16 @@ class Encoder(nn.Module):
             if lvl != len(cfg.ch_mult) - 1:
                 # asymmetric pad (0,1) then stride-2 conv (ldm Downsample)
                 h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
-                h = nn.Conv(ch, (3, 3), strides=2, padding="VALID", dtype=dt,
+                h = MMConv(ch, (3, 3), strides=2, padding="VALID", dtype=dt,
                             name=f"down_{lvl}_downsample")(h)
         ch = cfg.ch * cfg.ch_mult[-1]
         h = VAEResnet(ch, dtype=dt, name="mid_res_0")(h)
         h = VAEAttn(dtype=dt, name="mid_attn")(h)
         h = VAEResnet(ch, dtype=dt, name="mid_res_1")(h)
         h = nn.silu(GroupNorm32(dtype=dt)(h))
-        h = nn.Conv(2 * cfg.z_channels, (3, 3), padding=1, dtype=jnp.float32,
+        h = MMConv(2 * cfg.z_channels, (3, 3), padding=1, dtype=jnp.float32,
                     name="conv_out")(h.astype(jnp.float32))
-        return nn.Conv(2 * cfg.z_channels, (1, 1), dtype=jnp.float32,
+        return MMConv(2 * cfg.z_channels, (1, 1), dtype=jnp.float32,
                        name="quant_conv")(h)
 
 
@@ -112,10 +114,10 @@ class Decoder(nn.Module):
     def __call__(self, z):
         cfg = self.cfg
         dt = cfg.dtype
-        z = nn.Conv(cfg.z_channels, (1, 1), dtype=jnp.float32,
+        z = MMConv(cfg.z_channels, (1, 1), dtype=jnp.float32,
                     name="post_quant_conv")(z.astype(jnp.float32))
         ch = cfg.ch * cfg.ch_mult[-1]
-        h = nn.Conv(ch, (3, 3), padding=1, dtype=dt, name="conv_in")(
+        h = MMConv(ch, (3, 3), padding=1, dtype=dt, name="conv_in")(
             z.astype(dt))
         h = VAEResnet(ch, dtype=dt, name="mid_res_0")(h)
         h = VAEAttn(dtype=dt, name="mid_attn")(h)
@@ -127,10 +129,10 @@ class Decoder(nn.Module):
             if lvl != 0:
                 B, H, W, C = h.shape
                 h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
-                h = nn.Conv(ch, (3, 3), padding=1, dtype=dt,
+                h = MMConv(ch, (3, 3), padding=1, dtype=dt,
                             name=f"up_{lvl}_upsample")(h)
         h = nn.silu(GroupNorm32(dtype=dt)(h))
-        return nn.Conv(3, (3, 3), padding=1, dtype=jnp.float32,
+        return MMConv(3, (3, 3), padding=1, dtype=jnp.float32,
                        name="conv_out")(h.astype(jnp.float32))
 
 

@@ -140,14 +140,25 @@ def update_density_grid(
     base = grid_cell_centers(G)                                   # [G^3, 3]
     keys = jax.random.split(key, cascade)
 
+    # chunk the G^3 query (reference renderer.py:1113 queries 64^3 blocks):
+    # one dense G^3 encoder gather is multi-GB of padded HLO temps
+    n_cells = G ** 3
+    chunk = min(n_cells, 64 ** 3)
+    n_chunks = -(-n_cells // chunk)
+    pad = n_chunks * chunk - n_cells
+
     new_rows = []
     for cas in range(cascade):
         cas_bound = min(2 ** cas, bound)
         half_cell = cas_bound / G
         xyz = base * (cas_bound - half_cell)
         jitter = (jax.random.uniform(keys[cas], xyz.shape) * 2.0 - 1.0) * half_cell
-        sigmas = density_fn(xyz + jitter).reshape(-1)             # [G^3]
-        new_rows.append(sigmas)
+        pts = xyz + jitter
+        if pad:
+            pts = jnp.concatenate([pts, jnp.zeros((pad, 3), pts.dtype)])
+        sigmas = jax.lax.map(density_fn,
+                             pts.reshape(n_chunks, chunk, 3)).reshape(-1)
+        new_rows.append(sigmas[:n_cells])
     tmp = jnp.stack(new_rows, axis=0)                             # [cascade, G^3]
 
     valid = density_grid >= 0

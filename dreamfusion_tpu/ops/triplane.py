@@ -1,0 +1,130 @@
+"""Multi-scale triplane feature encoder — the TPU-first alternative to the
+Instant-NGP hash grid.
+
+Rationale (measured on the target TPU, see bench notes in ops/conv.py):
+gathers/scatters are *row-latency-bound* (~6.5 ns gathered row, ~60 ns
+scattered row, independent of row width).  The hash grid needs
+L·8 = 128 gathered rows per sample forward and 128 scattered rows per
+sample backward; a triplane needs 3 planes × 4 bilinear corners × S scales
+= 12·S rows — ~5-10× fewer, with dense, collision-friendly tables.
+Triplane/TensoRF-style factorizations are established equal-quality
+encodings for object-centric NeRFs (EG3D, TensoRF), which is exactly the
+DreamFusion workload (single object in [-bound, bound]³).
+
+API mirrors ops/hashgrid.py (encode + spec + init + progressive
+`max_level` masking) so NeRFField can switch backbones symmetrically.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# plane axis pairs: xy, xz, yz (EG3D convention)
+_PLANE_AXES = ((0, 1), (0, 2), (1, 2))
+
+
+@dataclass(frozen=True)
+class TriplaneSpec:
+    resolution: int = 256        # finest plane resolution
+    channels: int = 16           # features per plane
+    num_scales: int = 2          # finest + halved resolutions
+    reduce: str = "concat"       # concat | sum over planes
+
+    @property
+    def resolutions(self) -> Tuple[int, ...]:
+        return tuple(max(16, self.resolution // (2 ** s))
+                     for s in range(self.num_scales))
+
+    @property
+    def output_dim(self) -> int:
+        per_scale = 3 * self.channels if self.reduce == "concat" \
+            else self.channels
+        return per_scale * self.num_scales
+
+
+def init_triplane(key: jax.Array, spec: TriplaneSpec, scale: float = 1e-1
+                  ) -> List[jax.Array]:
+    """List of [3, R_s, R_s, C] fp32 (one per scale)."""
+    keys = jax.random.split(key, spec.num_scales)
+    return [jax.random.normal(k, (3, r, r, spec.channels)) * scale
+            for k, r in zip(keys, spec.resolutions)]
+
+
+def _bilinear_plane(planes: jax.Array, uv: jax.Array) -> jax.Array:
+    """planes [3, R, R, C], uv [N, 3, 2] in [0, 1] → [N, 3, C].
+
+    One fused gather of 12 rows/point from the flattened plane stack —
+    keeps the row count (the TPU cost metric) explicit and minimal."""
+    R = planes.shape[1]
+    C = planes.shape[-1]
+    pos = jnp.clip(uv, 0.0, 1.0) * (R - 1)
+    p0 = jnp.floor(pos)
+    frac = pos - p0                                         # [N, 3, 2]
+    i0 = p0.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, R - 1)
+
+    flat = planes.reshape(3 * R * R, C)
+    base = jnp.arange(3, dtype=jnp.int32)[None, :] * (R * R)   # [1, 3]
+
+    def idx(iy, ix):
+        return base + iy[..., 0] * R + ix[..., 1]           # [N, 3]
+
+    # gather all 4 corners in one op: [N, 3, 4]
+    ids = jnp.stack([idx(i0, i0), idx(i0, i1), idx(i1, i0), idx(i1, i1)],
+                    axis=-1)
+    vals = flat[ids.reshape(-1)].reshape(*ids.shape, C)     # [N, 3, 4, C]
+    fy, fx = frac[..., 0:1], frac[..., 1:2]                 # [N, 3, 1]
+    w = jnp.stack([(1 - fy) * (1 - fx), (1 - fy) * fx,
+                   fy * (1 - fx), fy * fx], axis=-2)        # [N, 3, 4, 1]
+    return jnp.sum(vals * w, axis=-2)                       # [N, 3, C]
+
+
+def triplane_encode(
+    x: jax.Array,                      # [N, 3] in [0, 1]
+    planes: List[jax.Array],
+    spec: TriplaneSpec,
+    max_level: Optional[jax.Array] = None,
+    out_dtype=None,
+) -> jax.Array:
+    """[N, 3] → [N, output_dim]; coarse→fine scale masking via max_level
+    (mirrors the hash grid's progressive-level training, grid.py:40)."""
+    xf = jnp.clip(x.astype(jnp.float32), 0.0, 1.0)
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1, keepdims=True)
+
+    S = spec.num_scales
+    if max_level is not None:
+        n_active = jnp.clip(jnp.ceil(max_level * S), 1, S)
+    else:
+        n_active = None
+
+    outs = []
+    for s, r in enumerate(spec.resolutions):
+        uv = jnp.stack([xf[:, (a, b)] for a, b in _PLANE_AXES], axis=1)
+        feat = _bilinear_plane(planes[s], uv)               # [N, 3, C]
+        if spec.reduce == "sum":
+            feat = jnp.sum(feat, axis=1)                    # [N, C]
+        else:
+            feat = feat.reshape(feat.shape[0], -1)          # [N, 3C]
+        # scale 0 is the finest: mask from the coarse end like the hashgrid
+        if n_active is not None:
+            feat = feat * ((S - 1 - s) < n_active).astype(feat.dtype)
+        outs.append(feat)
+    out = jnp.concatenate(outs, axis=-1)
+    out = jnp.where(oob, 0.0, out)
+    if out_dtype is not None:
+        out = out.astype(out_dtype)
+    return out
+
+
+def triplane_tv_loss(planes: List[jax.Array]) -> jax.Array:
+    """Total-variation regularizer over all planes (the dense analog of the
+    hash grid's grad_total_variation, gridencoder/grid.py:172-193)."""
+    tv = jnp.zeros(())
+    for p in planes:
+        tv = tv + jnp.mean((p[:, 1:] - p[:, :-1]) ** 2) + \
+            jnp.mean((p[:, :, 1:] - p[:, :, :-1]) ** 2)
+    return tv / len(planes)

@@ -111,7 +111,8 @@ def encoder_label_fn(params):
 
     def label_one(path):
         return "encoder" if any(
-            getattr(k, "key", None) == "grid_table" for k in path) else "net"
+            getattr(k, "key", None) in ("grid_table", "triplanes")
+            for k in path) else "net"
 
     return jax.tree_util.tree_map_with_path(
         lambda path, _: label_one(path), params)

@@ -81,6 +81,10 @@ def build_renderer(cfg: Config) -> NeRFRenderer:
         grid_log2_hashmap_size=cfg.grid_log2_hashmap_size,
         grid_desired_resolution=cfg.grid_desired_resolution,
         grid_interpolation=cfg.grid_interpolation,
+        triplane_resolution=cfg.triplane_resolution,
+        triplane_channels=cfg.triplane_channels,
+        triplane_scales=cfg.triplane_scales,
+        normal_mode=cfg.normal_mode,
         compute_dtype=jnp.bfloat16 if cfg.fp16 else jnp.float32,
     )
 
@@ -111,13 +115,32 @@ class Trainer:
         os.makedirs(os.path.join(self.workspace, "validation"), exist_ok=True)
         os.makedirs(os.path.join(self.workspace, "results"), exist_ok=True)
         self.log_path = os.path.join(self.workspace, "log_df.txt")
+        # persist the config (reference logs opt at startup, utils.py:428;
+        # the viewer and resumed runs read this back)
+        try:
+            from dataclasses import asdict
+            with open(os.path.join(self.workspace, "config.json"), "w") as f:
+                json.dump(asdict(cfg), f, indent=1, default=str)
+        except Exception:
+            pass
 
         self._train_step_main = None
         self._train_step_latent = None
         self._update_grid_fn = None
         self._eval_fn = None
         # subclasses (DMTetTrainer) opt out of occupancy-grid maintenance
-        self.needs_density_grid = cfg.backbone == "grid" and not cfg.dmtet
+        self.needs_density_grid = cfg.backbone in ("grid", "triplane") and not cfg.dmtet
+
+        # tensorboard scalars (reference utils.py:1080-1082); logged at the
+        # epoch cadence so the jitted step never syncs to host mid-epoch
+        self.tb_writer = None
+        if getattr(cfg, "use_tensorboard", True):
+            try:
+                from tensorboardX import SummaryWriter
+                self.tb_writer = SummaryWriter(
+                    os.path.join(self.workspace, "run"))
+            except Exception:
+                pass
 
     # ------------------------------------------------------------------
     def _guidance_params_on_device(self):
@@ -143,7 +166,7 @@ class Trainer:
                         cfg.grid_size), bool)
         variables = self.renderer.init(
             {"params": key, "render": key}, RenderFlags(), ro, rd,
-            occ_grid=occ if cfg.backbone == "grid" else None,
+            occ_grid=occ if cfg.backbone in ("grid", "triplane") else None,
             method=self.renderer.render)
         params = variables["params"]
         opt_state = self.optimizer.init(params)
@@ -262,7 +285,7 @@ class Trainer:
             bg = jnp.broadcast_to(bg_color, ro.shape)
             out = renderer.apply(
                 {"params": params}, flags, ro, rd,
-                occ_grid=state.occ_grid if cfg.backbone == "grid" else None,
+                occ_grid=state.occ_grid if cfg.backbone in ("grid", "triplane") else None,
                 light_d=light_d, ambient_ratio=ambient, shading=shading,
                 bg_color=bg, max_level=max_level, use_bg_net=use_bg_net,
                 rngs={"render": k_render}, method=renderer.render)
@@ -311,6 +334,10 @@ class Trainer:
                 table = params["field"]["grid_table"]
                 loss = loss + schedules.lambda_tv_at(cfg, step) * \
                     hashgrid_tv_loss(k_tv, table, spec)
+            if cfg.backbone == "triplane" and cfg.lambda_tv > 0:
+                from ..ops.triplane import triplane_tv_loss
+                loss = loss + schedules.lambda_tv_at(cfg, step) * \
+                    triplane_tv_loss(params["field"]["triplanes"])
             if cfg.backbone == "grid" and cfg.lambda_wd > 0:
                 from ..ops.hashgrid import HashGridSpec
                 spec = HashGridSpec(
@@ -392,7 +419,7 @@ class Trainer:
 
             out = renderer.apply(
                 {"params": params}, flags, ro, rd,
-                occ_grid=state.occ_grid if cfg.backbone == "grid" else None,
+                occ_grid=state.occ_grid if cfg.backbone in ("grid", "triplane") else None,
                 light_d=light_d, ambient_ratio=1.0,
                 shading=SHADING_IDS["lambertian"], bg_color=bg_color,
                 max_level=max_level, rngs={"render": k_render},
@@ -461,15 +488,41 @@ class Trainer:
         renderer = self.renderer
         cfg = self.cfg
 
-        @jax.jit
-        def eval_fn(params, occ_grid, ro, rd, key):
+        def render_rays(params, occ_grid, ro, rd, key):
             flags = RenderFlags(perturb=False)
             out = renderer.apply(
                 {"params": params}, flags, ro, rd,
-                occ_grid=occ_grid if cfg.backbone == "grid" else None,
+                occ_grid=occ_grid if cfg.backbone in ("grid", "triplane") else None,
                 ambient_ratio=1.0, shading=SHADING_IDS["albedo"],
                 rngs={"render": key}, method=renderer.render)
             return out["image"], out["depth"], out["weights_sum"]
+
+        n_rays = H * W
+        chunk = min(cfg.max_ray_batch, n_rays)
+
+        if n_rays <= chunk:
+            return jax.jit(render_rays)
+
+        # staged rendering for big eval resolutions (reference
+        # renderer.py:1167-1186: max_ray_batch chunks to bound memory) —
+        # a lax.map over fixed-size chunks keeps the program compiled once
+        n_chunks = -(-n_rays // chunk)
+        pad = n_chunks * chunk - n_rays
+
+        @jax.jit
+        def eval_fn(params, occ_grid, ro, rd, key):
+            ro_p = jnp.concatenate([ro, jnp.ones((pad, 3), ro.dtype)])
+            rd_p = jnp.concatenate([rd, jnp.ones((pad, 3), rd.dtype)])
+            ro_c = ro_p.reshape(n_chunks, chunk, 3)
+            rd_c = rd_p.reshape(n_chunks, chunk, 3)
+
+            def one(args):
+                return render_rays(params, occ_grid, args[0], args[1], key)
+
+            img, depth, wsum = jax.lax.map(one, (ro_c, rd_c))
+            return (img.reshape(-1, 3)[:n_rays],
+                    depth.reshape(-1)[:n_rays],
+                    wsum.reshape(-1)[:n_rays])
 
         return eval_fn
 
@@ -517,6 +570,12 @@ class Trainer:
                     self.global_step == max_steps:
                 loss = float(metrics["loss"])
                 self.stats["loss"].append(loss)
+                if self.tb_writer is not None:
+                    self.tb_writer.add_scalar("train/loss", loss,
+                                              self.global_step)
+                    self.tb_writer.add_scalar(
+                        "train/loss_sds", float(metrics.get("loss_sds", 0.0)),
+                        self.global_step)
                 dt = time.time() - t0
                 done = self.global_step - start
                 md = float(getattr(state, "mean_density", 0.0))

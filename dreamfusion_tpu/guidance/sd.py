@@ -105,6 +105,26 @@ class StableDiffusionGuidance:
                 jnp.zeros((1, tl), jnp.int32))["params"], seed=2)
         return {"unet": unet_p, "vae": vae_p, "text": text_p}
 
+    def load_pretrained(self, root: str) -> Dict[str, Any]:
+        """Converted weights from `root/{unet,vae,text}.npz`
+        (written by utils.convert) — or a raw diffusers dir / CompVis ckpt,
+        converted on the fly."""
+        import os
+
+        import jax
+
+        params = self.init_params(jax.random.PRNGKey(0))
+        if any(os.path.exists(os.path.join(root, f"{n}.npz"))
+               for n in ("unet", "vae", "text")):
+            from ..utils.params import maybe_load_params
+            for n in ("unet", "vae", "text"):
+                p = os.path.join(root, f"{n}.npz")
+                if os.path.exists(p):
+                    params[n] = maybe_load_params(p, n, params[n])
+            return params
+        from ..utils.convert import convert_sd
+        return convert_sd(root, self, params)
+
     # ---- text embedding (one-time, reference sd_utils.py:76-83) ---------
     def get_text_embeds(self, params, input_ids: jax.Array) -> jax.Array:
         return self.text_encoder.apply({"params": params["text"]}, input_ids)

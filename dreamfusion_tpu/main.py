@@ -55,13 +55,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="random tiny guidance weights (smoke runs, no "
                         "pretrained weights needed)")
     p.add_argument("--gui", action="store_true",
-                   help="(not supported on TPU pods; renders turntable "
-                        "video instead)")
+                   help="serve the browser orbit viewer on the live state")
+    p.add_argument("--profile", action="store_true",
+                   help="write a jax.profiler trace of the first training "
+                        "epoch under workspace/profile")
 
     # all scalar/tuple config fields become flags automatically
     skip = {"text", "negative", "guidance", "test", "six_views", "save_mesh",
             "image", "image_config", "dmtet", "init_with", "lock_geo",
-            "perpneg", "dont_override_stuff", "mesh_shape", "mesh_axes"}
+            "perpneg", "dont_override_stuff", "mesh_shape", "mesh_axes",
+            "gui", "profile"}
     for f in dataclasses.fields(Config):
         if f.name in skip:
             continue
@@ -246,6 +249,13 @@ def main(argv=None):
                         os.path.join(trainer.workspace, "mesh"))
         return
 
+    if args.profile:
+        import jax.profiler
+        pdir = os.path.join(trainer.workspace, "profile")
+        trainer.log(f"[profile] tracing first epoch -> {pdir}")
+        with jax.profiler.trace(pdir):
+            state = trainer.train(
+                state, max_steps=min(cfg.iters, cfg.dataset_size_train))
     state = trainer.train(state, max_steps=cfg.iters)
     trainer.test(state)
     if cfg.save_mesh:

@@ -586,6 +586,7 @@ class Trainer:
                 if cfg.eval_interval > 0 and \
                         self.epoch % cfg.eval_interval == 0:
                     self.evaluate(state)
+                    self.save_checkpoint(state, full=False)  # df best-model
                 self.save_checkpoint(state)
         return state
 
@@ -642,9 +643,19 @@ class Trainer:
         return os.path.join(self.workspace, "checkpoints")
 
     def save_checkpoint(self, state: TrainState, full: bool = True):
+        """full=True: rolling train-state checkpoint; full=False: the
+        best-model equivalent of the reference's `df.pth` — EMA weights
+        only (utils.py:1236-1264)."""
         import orbax.checkpoint as ocp
-        path = os.path.join(self._ckpt_dir(), f"df_ep{self.epoch:04d}")
         ckptr = ocp.StandardCheckpointer()
+        if not full:
+            path = os.path.join(self._ckpt_dir(), "df")
+            ckptr.save(os.path.abspath(path),
+                       flax.serialization.to_state_dict(
+                           {"ema_params": state.ema_params}), force=True)
+            ckptr.wait_until_finished()
+            return
+        path = os.path.join(self._ckpt_dir(), f"df_ep{self.epoch:04d}")
         payload = flax.serialization.to_state_dict(state)
         ckptr.save(os.path.abspath(path), payload, force=True)
         ckptr.wait_until_finished()

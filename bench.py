@@ -33,7 +33,8 @@ BASELINE_IT_S = 10000.0 / (15.0 * 60.0)  # 11.11 it/s
 
 
 def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
-              backbone: str = "grid"):
+              backbone: str = "grid", fine_steps: int = 0,
+              triplane_scales: int = 0):
     import os
 
     import jax
@@ -67,11 +68,16 @@ def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
         sdc = SDConfig(tiny=True, image_size=16, latent_size=8)
         steps = min(steps, 5)
     else:
+        extra = {}
+        if fine_steps:
+            extra["grid_fine_steps"] = fine_steps
+        if triplane_scales:
+            extra["triplane_scales"] = triplane_scales
         cfg = finalize(Config(
             text="a highly detailed hamburger", workspace="/tmp/dftpu_bench",
             backbone=backbone, w=render_hw, h=render_hw,
             latent_iter_ratio=0.0, fp16=True, seed=0,
-            lambda_3d_normal_smooth=0.0,
+            lambda_3d_normal_smooth=0.0, **extra,
         ))
         sdc = SDConfig(sd_version="2.1")
 
@@ -128,6 +134,8 @@ def main():
                     help="tiny CPU-runnable variant")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--hw", type=int, default=64)
+    ap.add_argument("--fine", type=int, default=0)
+    ap.add_argument("--scales", type=int, default=0)
     ap.add_argument("--backbone", type=str, default="triplane",
                 help="triplane (TPU-first flagship) | grid | vanilla")
     args = ap.parse_args()
@@ -139,7 +147,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     it_s = run_bench(smoke=args.smoke, steps=args.steps, render_hw=args.hw,
-                     backbone=args.backbone)
+                     backbone=args.backbone, fine_steps=args.fine,
+                     triplane_scales=args.scales)
     print(json.dumps({
         "metric": "sds_iterations_per_sec",
         "value": round(it_s, 3),

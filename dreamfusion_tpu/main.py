@@ -220,9 +220,7 @@ def main(argv=None):
                           ref_images=ref_images)
         state = trainer.init_state(jax.random.PRNGKey(cfg.seed or 0))
     if cfg.ckpt != "scratch":
-        state, loaded = trainer.load_checkpoint(
-            state, cfg.ckpt if cfg.ckpt not in ("latest", "latest_model")
-            else "latest")
+        state, loaded = trainer.load_checkpoint(state, cfg.ckpt)
         if loaded:
             trainer.log(f"[INFO] resumed from step {trainer.global_step}")
 

@@ -679,6 +679,19 @@ class Trainer:
     def load_checkpoint(self, state_template: TrainState,
                         ckpt: str = "latest") -> Tuple[TrainState, bool]:
         import orbax.checkpoint as ocp
+        if ckpt in ("best", "latest_model"):
+            # EMA-only df checkpoint (reference --ckpt best/latest_model,
+            # main.py:60 / utils.py:1266-1288): model weights, no optimizer
+            path = os.path.join(self._ckpt_dir(), "df")
+            if not os.path.isdir(path):
+                return state_template, False
+            target = {"ema_params": flax.serialization.to_state_dict(
+                state_template.ema_params)}
+            restored = ocp.StandardCheckpointer().restore(
+                os.path.abspath(path), target=target)
+            ema = flax.serialization.from_state_dict(
+                state_template.ema_params, restored["ema_params"])
+            return state_template.replace(params=ema, ema_params=ema), True
         if ckpt == "latest":
             cands = sorted(glob.glob(os.path.join(self._ckpt_dir(), "df_ep*")))
             cands = [c for c in cands if os.path.isdir(c)]

@@ -1,0 +1,100 @@
+"""Data-parallel training on the 8-device virtual CPU mesh.
+
+The reference's only multi-device story is a dormant DDP wrapper
+(nerf/utils.py:248-250, never spawned); here the mesh path is first-class
+and CI-tested: the batch shards on the `data` axis, params replicate, and
+the SPMD partitioner inserts the gradient psums.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dreamfusion_tpu.config import Config, finalize
+from dreamfusion_tpu.guidance.embeddings import prepare_text_embeddings
+from dreamfusion_tpu.guidance.sd import SDConfig, StableDiffusionGuidance
+from dreamfusion_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                           replicate_tree, shard_batch)
+from dreamfusion_tpu.training.trainer import Trainer
+
+
+def test_mesh_has_8_cpu_devices():
+    assert len(jax.devices()) == 8        # conftest forces the virtual mesh
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8,)
+    assert mesh.axis_names == ("data",)
+
+
+def test_shard_batch_places_leading_axis():
+    mesh = make_mesh()
+    x = jnp.arange(8 * 4.0).reshape(8, 4)
+
+    @jax.jit
+    def f(x):
+        y = shard_batch(mesh, {"a": x})["a"]
+        return y * 2
+
+    out = f(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2)
+
+
+def test_data_parallel_train_step_keeps_params_replicated(tmp_path):
+    mesh = make_mesh()
+    g = StableDiffusionGuidance(SDConfig(tiny=True, image_size=16,
+                                         latent_size=8))
+    gparams = g.init_params(jax.random.PRNGKey(7))
+    emb = prepare_text_embeddings(g, gparams, "a hamburger")
+    cfg = finalize(Config(
+        text="a hamburger", workspace=str(tmp_path / "ws"),
+        backbone="triplane", w=16, h=16, iters=2, batch_size=8,
+        dataset_size_train=2, latent_iter_ratio=0.0,
+        triplane_resolution=32, triplane_channels=4,
+        grid_size=32, grid_coarse_steps=16, grid_fine_steps=16,
+        hidden_dim=16, num_layers=2, hidden_dim_bg=8, num_layers_bg=2,
+        update_extra_interval=2, fp16=False, eval_interval=-1, seed=0,
+        lambda_3d_normal_smooth=0.0))
+    tr = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gparams},
+                 embeddings={"SD": emb}, mesh=mesh)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    state2 = tr.train(state, max_steps=2)
+    assert int(state2.step) == 2
+    assert np.isfinite(float(tr.stats["loss"][-1]))
+
+    # params stay fully replicated (all devices agree) — the psum happened
+    leaf = jax.tree_util.tree_leaves(state2.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+    # and training actually moved them
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(state2.params)
+    moved = sum(float(jnp.abs(x - y).sum()) for x, y in zip(a, b))
+    assert moved > 0
+
+
+def test_dp_loss_matches_single_device_semantics(tmp_path):
+    """The mesh constrains layout only — same program, same math: a
+    single-device run with the same seed must produce the same loss."""
+    g = StableDiffusionGuidance(SDConfig(tiny=True, image_size=16,
+                                         latent_size=8))
+    gparams = g.init_params(jax.random.PRNGKey(7))
+    emb = prepare_text_embeddings(g, gparams, "a hamburger")
+    base = dict(
+        text="a hamburger", backbone="vanilla", w=16, h=16, iters=1,
+        batch_size=8, dataset_size_train=1, latent_iter_ratio=0.0,
+        num_steps=12, upsample_steps=0, hidden_dim=16, num_layers=2,
+        hidden_dim_bg=8, num_layers_bg=2, fp16=False, eval_interval=-1,
+        seed=0, lambda_3d_normal_smooth=0.0)
+    cfg1 = finalize(Config(workspace=str(tmp_path / "w1"), **base))
+    cfg2 = finalize(Config(workspace=str(tmp_path / "w2"), **base))
+
+    tr1 = Trainer(cfg1, guidances={"SD": g}, guidance_params={"SD": gparams},
+                  embeddings={"SD": emb})
+    tr2 = Trainer(cfg2, guidances={"SD": g}, guidance_params={"SD": gparams},
+                  embeddings={"SD": emb}, mesh=make_mesh())
+    s1 = tr1.init_state(jax.random.PRNGKey(0))
+    s2 = tr2.init_state(jax.random.PRNGKey(0))
+    s1 = tr1.train(s1, max_steps=1)
+    s2 = tr2.train(s2, max_steps=1)
+    assert np.isclose(tr1.stats["loss"][-1], tr2.stats["loss"][-1],
+                      rtol=1e-4), (tr1.stats["loss"], tr2.stats["loss"])

@@ -144,3 +144,28 @@ def test_eval_and_test_write_outputs(tmp_path, tiny_guidance):
     tr.test(state, n_frames=3, write_video=True)
     results = os.listdir(os.path.join(tr.workspace, "results"))
     assert len(results) >= 1
+
+
+def test_best_model_checkpoint_roundtrip(tmp_path, tiny_guidance):
+    """df (EMA-only) checkpoint: save after eval, load via --ckpt best."""
+    g, gparams, emb = tiny_guidance
+    cfg = tiny_config(tmp_path, backbone="vanilla", iters=2,
+                      latent_iter_ratio=0.0)
+    tr = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gparams},
+                 embeddings={"SD": emb})
+    state = tr.init_state(jax.random.PRNGKey(0))
+    state = tr.train(state, max_steps=2)
+    tr.save_checkpoint(state, full=False)
+
+    tr2 = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gparams},
+                  embeddings={"SD": emb})
+    template = tr2.init_state(jax.random.PRNGKey(5))
+    restored, ok = tr2.load_checkpoint(template, "best")
+    assert ok
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.ema_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0]))
+    # params are set to the EMA weights (model-only load)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0]))

@@ -25,3 +25,20 @@ def _enable_compile_cache():
 _enable_compile_cache()
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import dreamfusion_tpu` light)."""
+    if name == "Config":
+        from .config import Config
+        return Config
+    if name == "Trainer":
+        from .training.trainer import Trainer
+        return Trainer
+    if name == "DMTetTrainer":
+        from .training.dmtet_trainer import DMTetTrainer
+        return DMTetTrainer
+    if name == "NeRFRenderer":
+        from .models.renderer import NeRFRenderer
+        return NeRFRenderer
+    raise AttributeError(name)

@@ -90,7 +90,9 @@ class Config:
     # TPU-native renderer knobs (replaces the reference's dynamic two-pass
     # CUDA allocation, raymarching.py:197-256, with static sample budgets):
     grid_coarse_steps: int = 128   # occupancy-probe samples per ray
-    grid_fine_steps: int = 128     # network-evaluated samples per ray
+    # network-evaluated samples per ray; importance-resampled into occupied
+    # cells, so 96 matches the reference's effective occupancy-marched count
+    grid_fine_steps: int = 96
     occupancy_mode: str = "resample"  # resample | mask
 
     # ---- network arch (reference nerf/network_grid.py:24-66, network.py:89-148) ----
@@ -105,10 +107,13 @@ class Config:
     grid_base_resolution: int = 16
     grid_desired_resolution: int = 2048
     grid_interpolation: str = "smoothstep"  # linear | smoothstep
-    # triplane backbone (TPU-first encoder — see ops/triplane.py)
+    # triplane backbone (TPU-first encoder — see ops/triplane.py).
+    # Single-scale 256² planes (EG3D configuration). Scale count drives the
+    # gather/scatter row count; table size ALSO matters (512² measured 2×
+    # slower than 256² — larger tables hurt scatter locality on this TPU)
     triplane_resolution: int = 256
     triplane_channels: int = 16
-    triplane_scales: int = 2
+    triplane_scales: int = 1
     # 'autograd' | 'finite_difference' (reference network_grid.py:81-96)
     normal_mode: str = "autograd"
     use_tensorboard: bool = True   # scalars under workspace/run (utils.py:1080)

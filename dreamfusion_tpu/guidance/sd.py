@@ -190,6 +190,27 @@ class StableDiffusionGuidance:
         return self._sds_from_noise_pred(latents, noise, noise_pred, t,
                                          grad_scale)
 
+    def guidance_eval(self, params, key, text_z_cond, text_z_uncond,
+                      pred_rgb, guidance_scale: float = 100.0):
+        """Debug snapshot for --save_guidance (sd_utils.py:133-158):
+        returns (noisy render, one-step denoised pred_x0) decoded to rgb."""
+        k_enc, k_t, k_noise = jax.random.split(key, 3)
+        latents = self._to_latents(params, k_enc, pred_rgb, False)
+        B = latents.shape[0]
+        t = self._sample_t(k_t, B)
+        noise = jax.random.normal(k_noise, latents.shape)
+        latents_noisy = self.schedule.add_noise(latents, noise, t)
+        x_in = jnp.concatenate([latents_noisy] * 2)
+        t_in = jnp.concatenate([t] * 2)
+        ctx = jnp.concatenate([text_z_uncond, text_z_cond])
+        eps = self.unet.apply({"params": params["unet"]}, x_in, t_in, ctx)
+        eps_u, eps_c = jnp.split(eps, 2)
+        noise_pred = eps_u + guidance_scale * (eps_c - eps_u)
+        x0 = self.schedule.predict_start_from_noise(latents_noisy, t,
+                                                    noise_pred)
+        return (self.decode_latents(params, latents_noisy),
+                self.decode_latents(params, x0))
+
     # ---- SDS + Perp-Neg (sd_utils.py:166-247) ---------------------------
     def sds_loss_perpneg(self, params, key, text_z, weights, text_z_uncond,
                          pred_rgb, guidance_scale: float = 100.0,

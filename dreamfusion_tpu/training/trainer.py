@@ -587,8 +587,48 @@ class Trainer:
                         self.epoch % cfg.eval_interval == 0:
                     self.evaluate(state)
                     self.save_checkpoint(state, full=False)  # df best-model
+                if cfg.save_guidance and "SD" in self.guidances and \
+                        self.epoch % max(cfg.save_guidance_interval, 1) == 0:
+                    self.save_guidance_snapshot(state)
                 self.save_checkpoint(state)
         return state
+
+    # ------------------------------------------------------------------
+    def save_guidance_snapshot(self, state: TrainState):
+        """--save_guidance triptychs (reference nerf/utils.py:1028-1048 +
+        sd_utils.py:133-158): render | noised | one-step denoised."""
+        cfg = self.cfg
+        H, W = cfg.h, cfg.w
+        if self._eval_fn is None:
+            self._eval_fn = self._make_eval_fn(H, W)
+        batch = circle_view_batch(cfg, 0, 4, H, W)
+        key = jax.random.PRNGKey(self.global_step)
+        img, _, _ = self._eval_fn(
+            state.ema_params, state.occ_grid,
+            batch.rays_o.reshape(-1, 3), batch.rays_d.reshape(-1, 3), key)
+        render = np.asarray(img).reshape(1, H, W, 3)
+        g = self.guidances["SD"]
+        gp = self._guidance_params_on_device()["SD"]
+        emb = self.embeddings["SD"]
+        noisy, denoised = g.guidance_eval(
+            gp, key, emb["default"], emb["uncond"], jnp.asarray(render),
+            guidance_scale=cfg.guidance_scale)
+
+        def to_hw(a):
+            a = np.asarray(a)[0]
+            if a.shape[:2] != (H, W):
+                from PIL import Image
+                a = np.asarray(Image.fromarray(
+                    (np.clip(a, 0, 1) * 255).astype(np.uint8)
+                ).resize((W, H))) / 255.0
+            return a
+
+        trip = np.concatenate([render[0], to_hw(noisy), to_hw(denoised)],
+                              axis=1)
+        gdir = os.path.join(self.workspace, "guidance")
+        os.makedirs(gdir, exist_ok=True)
+        save_image(os.path.join(
+            gdir, f"step_{self.global_step:06d}.png"), trip)
 
     # ------------------------------------------------------------------
     def evaluate(self, state: TrainState, n_views: Optional[int] = None):

@@ -169,3 +169,21 @@ def test_best_model_checkpoint_roundtrip(tmp_path, tiny_guidance):
     np.testing.assert_allclose(
         np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
         np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0]))
+
+
+def test_save_guidance_snapshot(tmp_path, tiny_guidance):
+    """--save_guidance triptych (render|noised|denoised) gets written."""
+    g, gparams, emb = tiny_guidance
+    cfg = tiny_config(tmp_path, backbone="vanilla", iters=2,
+                      latent_iter_ratio=0.0, save_guidance=True,
+                      save_guidance_interval=1)
+    tr = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gparams},
+                 embeddings={"SD": emb})
+    state = tr.init_state(jax.random.PRNGKey(0))
+    state = tr.train(state, max_steps=2)
+    gdir = os.path.join(tr.workspace, "guidance")
+    files = os.listdir(gdir)
+    assert files, "guidance triptych not written"
+    import imageio.v2 as imageio
+    im = imageio.imread(os.path.join(gdir, files[0]))
+    assert im.shape[1] == 3 * im.shape[0]   # 3 panels wide

@@ -295,6 +295,10 @@ def apply_dmtet(cfg: Config) -> Config:
 
 def finalize(cfg: Config) -> Config:
     """Final derived-value fixups applied once after all presets."""
+    if cfg.backbone in ("grid_taichi", "grid_tcnn"):
+        # the reference's alternative CUDA/Taichi hash-grid backends
+        # (main.py:289-306) are one implementation here
+        cfg = replace(cfg, backbone="grid")
     exp_start = cfg.exp_start_iter if cfg.exp_start_iter is not None else 0
     exp_end = cfg.exp_end_iter if cfg.exp_end_iter is not None else cfg.iters
     return replace(cfg, exp_start_iter=exp_start, exp_end_iter=exp_end)

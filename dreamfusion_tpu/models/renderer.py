@@ -65,6 +65,7 @@ class NeRFRenderer(nn.Module):
     grid_probe_steps: int = 128
     grid_fine_steps: int = 128
     occupancy_mode: str = "resample"
+    dt_gamma: float = 0.0
     t_thresh: float = 1e-4
     hidden_dim: int = 64
     num_layers: int = 3
@@ -238,6 +239,7 @@ class NeRFRenderer(nn.Module):
             key, rays_o, rays_d, near, far, occ_grid, self.bound,
             n_probe=self.grid_probe_steps, n_fine=self.grid_fine_steps,
             perturb=flags.perturb, mode=self.occupancy_mode,
+            dt_gamma=self.dt_gamma,
         )
         return self._shade_and_composite(
             flags, rays_o, rays_d, march.z_vals, march.deltas, march.mask,

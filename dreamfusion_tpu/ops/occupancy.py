@@ -80,11 +80,22 @@ def march_rays_occupancy(
     n_fine: int = 128,
     perturb: bool = False,
     mode: str = "resample",   # resample | mask
+    dt_gamma: float = 0.0,
 ) -> MarchOut:
-    """Occupancy-guided static-shape ray marching (see module docstring)."""
+    """Occupancy-guided static-shape ray marching (see module docstring).
+
+    dt_gamma > 0 spaces the probe intervals geometrically (step growth
+    factor 1+dt_gamma), mirroring the reference's cone stepping for
+    unbounded scenes (raymarching.cu:402-417, --dt_gamma)."""
     R = rays_o.shape[0]
     # probe at interval midpoints
-    edges = jnp.linspace(0.0, 1.0, n_probe + 1)
+    if dt_gamma > 0:
+        g = 1.0 + dt_gamma
+        w = g ** jnp.arange(n_probe + 1) - 1.0
+        edges = w / w[-1]
+        edges = edges.at[0].set(0.0)
+    else:
+        edges = jnp.linspace(0.0, 1.0, n_probe + 1)
     z_edges = near + (far - near) * edges[None, :]               # [R, S0+1]
     z_mid = 0.5 * (z_edges[:, 1:] + z_edges[:, :-1])             # [R, S0]
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_mid[..., None]

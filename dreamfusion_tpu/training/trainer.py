@@ -72,6 +72,7 @@ def build_renderer(cfg: Config) -> NeRFRenderer:
         grid_probe_steps=cfg.grid_coarse_steps,
         grid_fine_steps=cfg.grid_fine_steps,
         occupancy_mode=cfg.occupancy_mode,
+        dt_gamma=cfg.dt_gamma,
         hidden_dim=cfg.hidden_dim,
         num_layers=cfg.num_layers,
         hidden_dim_bg=cfg.hidden_dim_bg,

@@ -170,3 +170,31 @@ def test_render_grad_flows(key):
     g = jax.grad(loss)(variables)
     total = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_dt_gamma_geometric_probe_spacing():
+    """dt_gamma > 0 spaces probe intervals geometrically (reference cone
+    stepping, raymarching.cu:402-417): later deltas strictly larger."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dreamfusion_tpu.ops.occupancy import march_rays_occupancy
+
+    ro = jnp.zeros((4, 3)) + jnp.array([0.0, 0.0, 3.2])
+    rd = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (4, 1))
+    near = jnp.full((4, 1), 0.1)
+    far = jnp.full((4, 1), 6.0)
+    occ = jnp.ones((1, 32, 32, 32), bool)
+    out_u = march_rays_occupancy(None, ro, rd, near, far, occ, 1.0,
+                                 n_probe=32, n_fine=16, mode="mask")
+    out_g = march_rays_occupancy(None, ro, rd, near, far, occ, 1.0,
+                                 n_probe=32, n_fine=16, mode="mask",
+                                 dt_gamma=0.1)
+    du = np.asarray(out_u.deltas[0])
+    dg = np.asarray(out_g.deltas[0])
+    np.testing.assert_allclose(du, du[0], rtol=1e-5)      # uniform
+    assert (np.diff(dg) > 0).all()                         # growing steps
+    np.testing.assert_allclose(dg[1:] / dg[:-1], 1.1, rtol=1e-4)
+    # both cover [near, far]
+    np.testing.assert_allclose(du.sum(), 5.9, rtol=1e-5)
+    np.testing.assert_allclose(dg.sum(), 5.9, rtol=1e-5)

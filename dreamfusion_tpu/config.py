@@ -190,6 +190,7 @@ class Config:
     mesh_shape: Tuple[int, ...] = (1,)          # device mesh, e.g. (8,) or (4, 2)
     mesh_axes: Tuple[str, ...] = ("data",)      # axis names matching mesh_shape
     shard_views: bool = True                    # data-parallel over rendered views
+    fsdp_guidance: bool = False   # ZeRO-3-shard the frozen guidance towers
 
     # ---- precision ----
     compute_dtype: str = "bfloat16"   # activations in bf16, params fp32

@@ -146,9 +146,17 @@ class Trainer:
     # ------------------------------------------------------------------
     def _guidance_params_on_device(self):
         """Frozen guidance weights as device arrays, uploaded once and fed
-        to jitted steps as arguments (see _guidance_loss)."""
+        to jitted steps as arguments (see _guidance_loss).  With a mesh and
+        cfg.fsdp_guidance the towers are ZeRO-3-sharded over the data axis
+        (parallel/mesh.fsdp_shard_tree); SPMD inserts the all-gathers."""
         if not hasattr(self, "_gp_dev") or self._gp_dev is None:
-            self._gp_dev = jax.device_put(self.guidance_params)
+            if self.mesh is not None and getattr(self.cfg, "fsdp_guidance",
+                                                 False):
+                from ..parallel.mesh import fsdp_shard_tree
+                self._gp_dev = fsdp_shard_tree(self.mesh,
+                                               self.guidance_params)
+            else:
+                self._gp_dev = jax.device_put(self.guidance_params)
         return self._gp_dev
 
     # ------------------------------------------------------------------

@@ -98,3 +98,43 @@ def test_dp_loss_matches_single_device_semantics(tmp_path):
     s2 = tr2.train(s2, max_steps=1)
     assert np.isclose(tr1.stats["loss"][-1], tr2.stats["loss"][-1],
                       rtol=1e-4), (tr1.stats["loss"], tr2.stats["loss"])
+
+
+def test_fsdp_guidance_sharding_and_training(tmp_path):
+    """ZeRO-3 guidance sharding: big tower leaves shard over the data axis,
+    the step still runs and matches the replicated run's loss."""
+    from dreamfusion_tpu.parallel.mesh import fsdp_shard_tree
+
+    mesh = make_mesh()
+    g = StableDiffusionGuidance(SDConfig(tiny=True, image_size=16,
+                                         latent_size=8))
+    gparams = g.init_params(jax.random.PRNGKey(7))
+    emb = prepare_text_embeddings(g, gparams, "a hamburger")
+
+    sharded = fsdp_shard_tree(mesh, gparams, min_size=1 << 10)
+    leaves = jax.tree_util.tree_leaves(sharded)
+    assert any(not l.sharding.is_fully_replicated for l in leaves
+               if l.size >= (1 << 10) and any(d % 8 == 0 for d in l.shape))
+    # values are unchanged by sharding
+    for a, b in zip(leaves, jax.tree_util.tree_leaves(gparams)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    base = dict(
+        text="a hamburger", backbone="vanilla", w=16, h=16, iters=1,
+        batch_size=8, dataset_size_train=1, latent_iter_ratio=0.0,
+        num_steps=12, upsample_steps=0, hidden_dim=16, num_layers=2,
+        hidden_dim_bg=8, num_layers_bg=2, fp16=False, eval_interval=-1,
+        seed=0, lambda_3d_normal_smooth=0.0)
+    cfg_f = finalize(Config(workspace=str(tmp_path / "wf"),
+                            fsdp_guidance=True, **base))
+    cfg_r = finalize(Config(workspace=str(tmp_path / "wr"), **base))
+    tr_f = Trainer(cfg_f, guidances={"SD": g}, guidance_params={"SD": gparams},
+                   embeddings={"SD": emb}, mesh=mesh)
+    tr_r = Trainer(cfg_r, guidances={"SD": g}, guidance_params={"SD": gparams},
+                   embeddings={"SD": emb}, mesh=mesh)
+    sf = tr_f.init_state(jax.random.PRNGKey(0))
+    sr = tr_r.init_state(jax.random.PRNGKey(0))
+    sf = tr_f.train(sf, max_steps=1)
+    sr = tr_r.train(sr, max_steps=1)
+    assert np.isclose(tr_f.stats["loss"][-1], tr_r.stats["loss"][-1],
+                      rtol=1e-4)

@@ -17,7 +17,13 @@ Design: instead of one CUDA thread per (point, level) with atomicAdd
 gradients, each level is a dense gather of 2^D corners over the whole point
 batch; XLA's gather VJP is a deterministic scatter-add (no atomics, no
 nondeterminism).  The Python loop over the 16 levels unrolls at trace time.
-A Pallas kernel for the fused gather+interp lives in hashgrid_pallas.py.
+
+Why no Pallas kernel: measured on the target TPU, gathers/scatters are
+row-latency-bound (~6.5 / ~60 ns per row) and a Pallas per-element VMEM
+gather is ~90× slower than XLA's gather — the hash grid's cost is its
+L·2^D row count, which no kernel can reduce.  The TPU-first answer is the
+triplane encoder (ops/triplane.py, ~10× fewer rows), kept alongside this
+reference-parity hash grid.
 
 The embedding table stays fp32 (hash tables are tiny vs HBM but gradients
 are sparse and benefit from fp32 accumulation); outputs are cast to the

@@ -188,6 +188,71 @@ class DMTetTrainer(Trainer):
         return lambda state, key: train_step(state, key, gp_dev)
 
     # ------------------------------------------------------------------
+    def _make_known_view_step(self):
+        """Image-conditioned DMTet: the known-view reconstruction step
+        rendered through the rasterizer (reference utils.py:446-590 with
+        run_dmtet; normals/depth come from the mesh so only rgb+mask losses
+        apply here, matching the reference's dmtet branch)."""
+        from .data import default_view_batch
+
+        cfg = self.cfg
+        dmr = self.dmtet_renderer
+        optimizer = self.optimizer
+        ref = self.ref_images
+        assert ref is not None
+        K = ref.rgb.shape[0]
+        kv_batch = default_view_batch(cfg, ref.radii, ref.polars,
+                                      ref.azimuths, cfg.h, cfg.w)
+        Hs, Ws = ref.rgb.shape[1:3]
+        gt_rgb = jnp.asarray(ref.rgb)
+        gt_mask = jnp.asarray(ref.mask)
+
+        def loss_fn(params, state: DMTetState, key: jax.Array):
+            k_sel, k_bg = jax.random.split(key)
+            sel = jax.random.randint(k_sel, (), 0, K)
+            bg = jax.random.uniform(k_bg, (3,))
+            geo = DMTetParams(sdf=params["geo"]["sdf"],
+                              deform=params["geo"]["deform"],
+                              tet_scale=state.tet_scale)
+            out = dmr.render(
+                geo, self._nerf_density_fn(params["nerf"], "albedo"),
+                kv_batch.mvp[sel], Hs, Ws,
+                kv_batch.rays_o[sel], kv_batch.rays_d[sel],
+                ambient_ratio=1.0, shading="lambertian", bg_color=bg,
+                need_regularizers=True)
+            m = gt_mask[sel].astype(jnp.float32)
+            gt = gt_rgb[sel] * m[..., None] + bg * (1 - m[..., None])
+            loss = cfg.lambda_rgb * jnp.mean((out["image"] - gt) ** 2)
+            loss = loss + cfg.lambda_mask * jnp.mean(
+                (out["weights_sum"] - m) ** 2)
+            loss = loss + cfg.lambda_mesh_normal * out["normal_loss"] + \
+                cfg.lambda_mesh_laplacian * out["lap_loss"]
+            return loss, {"loss": loss, "loss_sds": jnp.zeros(())}
+
+        @jax.jit
+        def known_view_step(state: DMTetState, key: jax.Array):
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state, key)
+            if cfg.lock_geo:
+                grads = {**grads,
+                         "geo": jax.tree.map(jnp.zeros_like, grads["geo"])}
+            updates, new_opt = optimizer.update(grads, state.opt_state,
+                                                state.params)
+            if cfg.lock_geo:
+                updates = {**updates,
+                           "geo": jax.tree.map(jnp.zeros_like,
+                                               updates["geo"])}
+            new_params = optax.apply_updates(state.params, updates)
+            decay = cfg.ema_decay
+            new_ema = jax.tree.map(lambda e, p: decay * e + (1 - decay) * p,
+                                   state.ema_params, new_params)
+            return state.replace(params=new_params, opt_state=new_opt,
+                                 ema_params=new_ema,
+                                 step=state.step + 1), metrics
+
+        return known_view_step
+
+    # ------------------------------------------------------------------
     def _make_eval_fn(self, H: int, W: int):
         dmr = self.dmtet_renderer
 

@@ -156,3 +156,31 @@ def test_bootstrap_from_stage1_checkpoint(tmp_path, tiny_guidance):
     # one train step runs
     state = tr2.train(state, max_steps=1)
     assert np.isfinite(float(tr2.stats["loss"][-1]))
+
+
+def test_image_conditioned_dmtet(tmp_path, tiny_guidance):
+    """--image + --dmtet: zero123-style known-view step through the
+    rasterizer (reference supports dmtet refinement of image runs)."""
+    import numpy as np_
+    from PIL import Image
+
+    from dreamfusion_tpu.training.image_data import load_ref_images
+
+    g, gparams, emb = tiny_guidance
+    rgba = np_.zeros((32, 32, 4), np_.uint8)
+    rgba[8:24, 8:24] = (200, 60, 60, 255)
+    p = str(tmp_path / "ref_rgba.png")
+    Image.fromarray(rgba).save(p)
+
+    cfg = dmtet_config(tmp_path, image=p, known_view_interval=2, iters=4,
+                       known_view_scale=1.0)
+    ref = load_ref_images(cfg, cfg.h, cfg.w)
+    tr = DMTetTrainer(cfg, guidances={"SD": g},
+                      guidance_params={"SD": gparams},
+                      embeddings={"SD": emb}, ref_images=ref)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    # steps 0 and 2 are known-view steps, 1 and 3 SDS steps
+    state = tr.train(state, max_steps=4)
+    assert int(state.step) == 4
+    assert np.isfinite(float(tr.stats["loss"][-1]))
+    assert np.isfinite(np.asarray(state.params["geo"]["sdf"])).all()

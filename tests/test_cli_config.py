@@ -1,0 +1,95 @@
+"""CLI flag surface: preset expansion, args-file splicing, mode overrides,
+multi-view CSV config (reference main.py:172-306 behavioral contract)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from dreamfusion_tpu.main import build_parser, config_from_args
+
+
+def parse(argv):
+    return config_from_args(build_parser().parse_args(argv))
+
+
+def test_O_preset():
+    cfg = parse(["-O", "--text", "a hamburger"])
+    assert cfg.fp16 and cfg.backbone == "grid"
+    assert cfg.guidance == ("SD",)
+
+
+def test_O2_preset():
+    cfg = parse(["-O2", "--text", "a hamburger"])
+    assert cfg.fp16 and cfg.backbone == "vanilla"
+    assert cfg.progressive_level
+
+
+def test_IF_swap():
+    cfg = parse(["-O", "--IF", "--text", "x"])
+    assert cfg.guidance == ("IF",)
+    assert cfg.latent_iter_ratio == 0.0      # main.py:181-185
+
+
+def test_image_mode_overrides(tmp_path):
+    p = str(tmp_path / "x_rgba.png")
+    Image.fromarray(np.zeros((8, 8, 4), np.uint8)).save(p)
+    cfg = parse(["--image", p])
+    assert cfg.guidance == ("zero123",)
+    assert cfg.guidance_scale == 5.0
+    assert cfg.latent_iter_ratio == 0.0
+    assert cfg.progressive_view
+
+
+def test_image_text_mode(tmp_path):
+    p = str(tmp_path / "x_rgba.png")
+    Image.fromarray(np.zeros((8, 8, 4), np.uint8)).save(p)
+    cfg = parse(["--image", p, "--text", "a corgi"])
+    assert set(cfg.guidance) == {"SD", "clip"}
+    assert cfg.guidance_scale == 10.0
+    assert cfg.t_range == (0.2, 0.6)
+
+
+def test_dmtet_overrides():
+    cfg = parse(["--text", "x", "--dmtet", "--w", "64", "--h", "64"])
+    assert cfg.dmtet
+    assert cfg.h == 64 * 8 and cfg.w == 64 * 8   # dmtet_reso_scale
+    assert cfg.t_range == (0.02, 0.5)
+    assert not cfg.progressive_view
+
+
+def test_args_file_splicing(tmp_path):
+    f = tmp_path / "res.args"
+    f.write_text("--w\n32\n--h\n24\n")
+    cfg = parse(["--text", "x", "--file", str(f)])
+    assert (cfg.w, cfg.h) == (32, 24)
+
+
+def test_backbone_aliases():
+    assert parse(["--text", "x", "--backbone", "grid_taichi"]).backbone == "grid"
+    assert parse(["--text", "x", "--backbone", "grid_tcnn"]).backbone == "grid"
+
+
+def test_image_config_csv_multiview(tmp_path):
+    from dreamfusion_tpu.config import Config, finalize
+    from dreamfusion_tpu.training.image_data import load_ref_images
+
+    imgs = []
+    for i in range(2):
+        p = str(tmp_path / f"v{i}_rgba.png")
+        a = np.zeros((16, 16, 4), np.uint8)
+        a[4:12, 4:12] = (100 + 50 * i, 50, 50, 255)
+        Image.fromarray(a).save(p)
+        imgs.append(p)
+    csvp = tmp_path / "views.csv"
+    csvp.write_text(
+        "image,polar,azimuth,radius,zero123_weight\n"
+        f"{imgs[0]},90,0,3.2,1.0\n"
+        f"{imgs[1]},90,180,3.2,0.5\n")
+    cfg = finalize(Config(image_config=str(csvp),
+                          workspace=str(tmp_path / "ws"),
+                          known_view_scale=1.0))
+    ref = load_ref_images(cfg, 16, 16)
+    assert ref.rgb.shape[0] == 2
+    assert list(ref.azimuths) == [0.0, 180.0]
+    assert list(ref.weights) == [1.0, 0.5]
+    assert ref.mask[0].any()

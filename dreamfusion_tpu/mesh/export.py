@@ -46,7 +46,9 @@ def _field_fn(trainer, state, name: str):
 
 
 def query_grid(trainer, state, resolution: int = 256,
-               chunk: int = 256 * 256 * 64) -> np.ndarray:
+               chunk: int = 64 ** 3) -> np.ndarray:
+    # chunk: 64³ like the reference (renderer.py:1113) — encoder gathers
+    # pad the minor dim to 128 lanes, so big chunks explode HBM temps
     """Query sigma on a resolution³ grid over [-bound, bound]³
     (reference renderer.py:393-407)."""
     bound = trainer.cfg.bound

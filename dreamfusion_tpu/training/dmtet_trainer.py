@@ -314,6 +314,39 @@ class DMTetTrainer(Trainer):
         return frames
 
     # ------------------------------------------------------------------
+    def save_guidance_snapshot(self, state: DMTetState):
+        cfg = self.cfg
+        H, W = cfg.h, cfg.w
+        batch = circle_view_batch(cfg, 0, 4, H, W)
+        render, _ = self._render_view(state, batch, H, W)
+        g = self.guidances.get("SD")
+        if g is None:
+            return
+        gp = self._guidance_params_on_device()["SD"]
+        emb = self.embeddings["SD"]
+        key = jax.random.PRNGKey(self.global_step)
+        noisy, denoised = g.guidance_eval(
+            gp, key, emb["default"], emb["uncond"], jnp.asarray(render[None]),
+            guidance_scale=cfg.guidance_scale)
+
+        from ..utils.image import save_image
+
+        def to_hw(a):
+            a = np.asarray(a)[0]
+            if a.shape[:2] != (H, W):
+                from PIL import Image
+                a = np.asarray(Image.fromarray(
+                    (np.clip(a, 0, 1) * 255).astype(np.uint8)
+                ).resize((W, H))) / 255.0
+            return a
+
+        trip = np.concatenate([render, to_hw(noisy), to_hw(denoised)], axis=1)
+        gdir = os.path.join(self.workspace, "guidance")
+        os.makedirs(gdir, exist_ok=True)
+        save_image(os.path.join(gdir, f"step_{self.global_step:06d}.png"),
+                   trip)
+
+    # ------------------------------------------------------------------
     def extract_dmtet_mesh(self, state: DMTetState
                            ) -> Tuple[np.ndarray, np.ndarray]:
         """Marching-tets surface of the (EMA) geometry, compacted on host

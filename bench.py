@@ -35,22 +35,17 @@ BASELINE_IT_S = 10000.0 / (15.0 * 60.0)  # 11.11 it/s
 def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
               backbone: str = "grid", fine_steps: int = 0,
               triplane_scales: int = 0):
-    import os
-
     import jax
     import jax.numpy as jnp
 
     # Persistent compilation cache: the full-size SD UNet + NeRF fused step
     # takes tens of minutes to compile through the TPU tunnel on a cold
-    # cache; warm runs (including the driver's) load it in seconds.
-    cache_dir = os.environ.get("DFTPU_JAX_CACHE",
-                               os.path.expanduser("~/.cache/jax_dftpu"))
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-
+    # cache; warm runs (including the driver's) load it in seconds.  The
+    # package __init__ configures jax_compilation_cache_dir from
+    # DFTPU_COMPILE_CACHE (default ~/.cache/dftpu_xla) — don't set a second
+    # divergent cache here (it would be overwritten by the import below).
     from dreamfusion_tpu.config import Config, finalize
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     from dreamfusion_tpu.guidance.embeddings import prepare_text_embeddings
     from dreamfusion_tpu.guidance.sd import SDConfig, StableDiffusionGuidance
     from dreamfusion_tpu.training.trainer import Trainer

@@ -28,7 +28,7 @@ def render_turntable(verts: np.ndarray, tris: np.ndarray,
 
     from ..core.math import safe_normalize
     from ..core.poses import circle_poses
-    from ..core.rays import intrinsics_from_fov, mvp_from_pose, projection_matrix
+    from ..core.rays import mvp_from_pose, projection_matrix
     from ..ops.raster import interpolate, project_verts, rasterize
 
     H = W = size

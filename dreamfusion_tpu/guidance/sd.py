@@ -307,12 +307,11 @@ def _main(argv=None):
     g = StableDiffusionGuidance(
         SDConfig(sd_version=args.sd_version, tiny=args.tiny,
                  **({"image_size": 16, "latent_size": 8} if args.tiny else {})))
-    params = g.init_params(jax.random.PRNGKey(args.seed))
     if args.weights:
-        from ..utils.params import maybe_load_params
-        for k in ("unet", "vae", "text"):
-            params[k] = maybe_load_params(
-                os.path.join(args.weights, f"{k}.npz"), k, params[k])
+        # converted-npz bundle, a raw diffusers dir, or a CompVis ckpt
+        params = g.load_pretrained(args.weights)
+    else:
+        params = g.init_params(jax.random.PRNGKey(args.seed))
     emb = prepare_text_embeddings(g, params, args.prompt,
                                   negative=args.negative,
                                   pretrained_root=args.weights)

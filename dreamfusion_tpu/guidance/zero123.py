@@ -110,6 +110,26 @@ class Zero123Guidance:
         return {"unet": unet_p, "vae": vae_p, "vision": vision_p,
                 "cc_projection": cc}
 
+    def load_pretrained(self, root: str) -> Dict[str, Any]:
+        """Converted weights from `root/{unet,vae,vision,cc_projection}.npz`
+        (utils.convert --kind zero123) or a raw zero123(-xl).ckpt converted
+        on the fly."""
+        import os
+
+        params = self.init_params(jax.random.PRNGKey(0))
+        names = ("unet", "vae", "vision", "cc_projection")
+        if os.path.isdir(root) and any(
+                os.path.exists(os.path.join(root, f"{n}.npz"))
+                for n in names):
+            from ..utils.params import maybe_load_params
+            for n in names:
+                p = os.path.join(root, f"{n}.npz")
+                if os.path.exists(p):
+                    params[n] = maybe_load_params(p, n, params[n])
+            return params
+        from ..utils.convert import convert_zero123
+        return convert_zero123(root, self, params)
+
     # ------------------------------------------------------------------
     def encode_imgs(self, params, key, imgs: jax.Array) -> jax.Array:
         m = self.vae.apply({"params": params["vae"]}, imgs * 2.0 - 1.0,
@@ -328,12 +348,8 @@ def _main(argv=None):
     from ..utils.image import save_image
 
     g = Zero123Guidance(Zero123Config(tiny=args.tiny))
-    params = g.init_params(jax.random.PRNGKey(args.seed))
-    if args.weights:
-        from ..utils.params import maybe_load_params
-        for k in ("unet", "vae", "vision", "cc_projection"):
-            params[k] = maybe_load_params(
-                os.path.join(args.weights, f"{k}.npz"), k, params[k])
+    params = g.load_pretrained(args.weights) if args.weights else \
+        g.init_params(jax.random.PRNGKey(args.seed))
     rgba = np.asarray(Image.open(args.image).convert("RGBA"),
                       np.float32) / 255.0
     rgb = rgba[..., :3] * rgba[..., 3:] + (1 - rgba[..., 3:])  # white bg

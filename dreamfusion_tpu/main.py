@@ -210,7 +210,7 @@ def main(argv=None):
         from .training.dmtet_trainer import DMTetTrainer
         trainer = DMTetTrainer(cfg, guidances=guidances,
                                guidance_params=gparams,
-                               embeddings=embeddings,
+                               embeddings=embeddings, mesh=mesh,
                                ref_images=ref_images)
         state = trainer.init_state(jax.random.PRNGKey(cfg.seed or 0),
                                    nerf_ckpt=cfg.init_with)

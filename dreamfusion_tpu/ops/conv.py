@@ -28,13 +28,21 @@ from flax import linen as nn
 Padding = Union[str, int, Sequence[Tuple[int, int]]]
 
 
-def _norm_padding(padding: Padding, kh: int, kw: int
+def _norm_padding(padding: Padding, kh: int, kw: int,
+                  H: int, W: int, sh: int, sw: int
                   ) -> Tuple[Tuple[int, int], Tuple[int, int]]:
     if isinstance(padding, str):
         if padding.upper() == "VALID":
             return (0, 0), (0, 0)
         if padding.upper() == "SAME":
-            return ((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2)
+            # stride-aware SAME (lax/flax semantics): total pad per dim is
+            # max((ceil(H/s)-1)*s + k - H, 0), low half rounded down —
+            # NOT the stride-1 (k-1)//2 split (wrong for e.g. patch embeds)
+            def same(n, k, s):
+                out = -(-n // s)
+                total = max((out - 1) * s + k - n, 0)
+                return total // 2, total - total // 2
+            return same(H, kh, sh), same(W, kw, sw)
         raise ValueError(padding)
     if isinstance(padding, int):
         return (padding, padding), (padding, padding)
@@ -50,7 +58,7 @@ def mm_conv(x: jax.Array, kernel: jax.Array,
     kh, kw, CI, O = kernel.shape
     assert CI == C, (kernel.shape, x.shape)
     sh, sw = strides
-    (pt, pb), (pl, pr) = _norm_padding(padding, kh, kw)
+    (pt, pb), (pl, pr) = _norm_padding(padding, kh, kw, H, W, sh, sw)
 
     if kh == 1 and kw == 1 and sh == 1 and sw == 1:
         return jnp.einsum("bhwc,co->bhwo", x, kernel[0, 0],

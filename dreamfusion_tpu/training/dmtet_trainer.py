@@ -98,7 +98,7 @@ class DMTetTrainer(Trainer):
                         self.cfg.grid_size, self.cfg.grid_size), bool)
         variables = self.renderer.init(
             {"params": key, "render": key}, RenderFlags(), ro, rd,
-            occ_grid=occ if self.cfg.backbone == "grid" else None,
+            occ_grid=occ if self.cfg.backbone in ("grid", "triplane") else None,
             method=self.renderer.render)
         params = variables["params"]
         if not ckpt:
@@ -271,9 +271,14 @@ class DMTetTrainer(Trainer):
         return eval_fn
 
     def _render_view(self, state: DMTetState, batch, H, W):
-        if self._eval_fn is None:
-            self._eval_fn = self._make_eval_fn(H, W)
-        img, depth, _ = self._eval_fn(
+        # cache per resolution — the rasterizer bakes (H, W) into the jit
+        cache = getattr(self, "_eval_fns", None)
+        if cache is None:
+            cache = self._eval_fns = {}
+        fn = cache.get((H, W))
+        if fn is None:
+            fn = cache[(H, W)] = self._make_eval_fn(H, W)
+        img, depth, _ = fn(
             state.ema_params, state.tet_scale, batch.mvp[0],
             batch.rays_o[0], batch.rays_d[0])
         return np.asarray(img), np.asarray(depth)
@@ -314,37 +319,11 @@ class DMTetTrainer(Trainer):
         return frames
 
     # ------------------------------------------------------------------
-    def save_guidance_snapshot(self, state: DMTetState):
+    def _snapshot_render(self, state: DMTetState):
         cfg = self.cfg
-        H, W = cfg.h, cfg.w
-        batch = circle_view_batch(cfg, 0, 4, H, W)
-        render, _ = self._render_view(state, batch, H, W)
-        g = self.guidances.get("SD")
-        if g is None:
-            return
-        gp = self._guidance_params_on_device()["SD"]
-        emb = self.embeddings["SD"]
-        key = jax.random.PRNGKey(self.global_step)
-        noisy, denoised = g.guidance_eval(
-            gp, key, emb["default"], emb["uncond"], jnp.asarray(render[None]),
-            guidance_scale=cfg.guidance_scale)
-
-        from ..utils.image import save_image
-
-        def to_hw(a):
-            a = np.asarray(a)[0]
-            if a.shape[:2] != (H, W):
-                from PIL import Image
-                a = np.asarray(Image.fromarray(
-                    (np.clip(a, 0, 1) * 255).astype(np.uint8)
-                ).resize((W, H))) / 255.0
-            return a
-
-        trip = np.concatenate([render, to_hw(noisy), to_hw(denoised)], axis=1)
-        gdir = os.path.join(self.workspace, "guidance")
-        os.makedirs(gdir, exist_ok=True)
-        save_image(os.path.join(gdir, f"step_{self.global_step:06d}.png"),
-                   trip)
+        batch = circle_view_batch(cfg, 0, 4, cfg.h, cfg.w)
+        render, _ = self._render_view(state, batch, cfg.h, cfg.w)
+        return render
 
     # ------------------------------------------------------------------
     def extract_dmtet_mesh(self, state: DMTetState

@@ -597,15 +597,16 @@ class Trainer:
                     self.evaluate(state)
                     self.save_checkpoint(state, full=False)  # df best-model
                 if cfg.save_guidance and "SD" in self.guidances and \
+                        self.epoch > 0 and \
                         self.epoch % max(cfg.save_guidance_interval, 1) == 0:
                     self.save_guidance_snapshot(state)
                 self.save_checkpoint(state)
         return state
 
     # ------------------------------------------------------------------
-    def save_guidance_snapshot(self, state: TrainState):
-        """--save_guidance triptychs (reference nerf/utils.py:1028-1048 +
-        sd_utils.py:133-158): render | noised | one-step denoised."""
+    def _snapshot_render(self, state) -> np.ndarray:
+        """One default-view render [H, W, 3] for debug snapshots
+        (overridden by DMTetTrainer to go through the rasterizer)."""
         cfg = self.cfg
         H, W = cfg.h, cfg.w
         if self._eval_fn is None:
@@ -615,7 +616,15 @@ class Trainer:
         img, _, _ = self._eval_fn(
             state.ema_params, state.occ_grid,
             batch.rays_o.reshape(-1, 3), batch.rays_d.reshape(-1, 3), key)
-        render = np.asarray(img).reshape(1, H, W, 3)
+        return np.asarray(img).reshape(H, W, 3)
+
+    def save_guidance_snapshot(self, state: TrainState):
+        """--save_guidance triptychs (reference nerf/utils.py:1028-1048 +
+        sd_utils.py:133-158): render | noised | one-step denoised."""
+        cfg = self.cfg
+        H, W = cfg.h, cfg.w
+        key = jax.random.PRNGKey(self.global_step)
+        render = self._snapshot_render(state)[None]
         g = self.guidances["SD"]
         gp = self._guidance_params_on_device()["SD"]
         emb = self.embeddings["SD"]

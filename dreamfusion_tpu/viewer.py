@@ -207,7 +207,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     from .config import Config, finalize
-    from .main import build_guidance, config_from_args, build_parser
+    from .main import build_guidance
     from .training.trainer import Trainer
 
     cfg_path = os.path.join(args.workspace, "config.json")
@@ -235,8 +235,14 @@ def main(argv=None):
     if can_train:
         guidances, gparams, embeddings = build_guidance(
             cfg, tiny=args.tiny_guidance)
-    trainer = Trainer(cfg, guidances=guidances, guidance_params=gparams,
-                      embeddings=embeddings)
+    if getattr(cfg, "dmtet", False):
+        from .training.dmtet_trainer import DMTetTrainer
+        trainer = DMTetTrainer(cfg, guidances=guidances,
+                               guidance_params=gparams,
+                               embeddings=embeddings)
+    else:
+        trainer = Trainer(cfg, guidances=guidances, guidance_params=gparams,
+                          embeddings=embeddings)
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed or 0))
     state, loaded = trainer.load_checkpoint(state, "latest")
     status = "loaded" if loaded else "NOT found - rendering random field"

@@ -80,3 +80,19 @@ def test_mm_conv_grads_match():
                                      ((1, 1), (1, 1))).sum())(w)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("k,s,H", [(14, 14, 28), (16, 16, 224), (3, 2, 15),
+                                   (4, 4, 18)])
+def test_mm_conv_same_with_stride_matches_lax(k, s, H):
+    """SAME + stride > 1 (CLIP patch embedding shape) must match lax —
+    stride-1 SAME splits are wrong here (caught in review)."""
+    from dreamfusion_tpu.ops.conv import mm_conv
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, H, H, 3)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, 3, 5)) * 0.1, jnp.float32)
+    ours = mm_conv(x, w, (s, s), "SAME")
+    ref = lax_conv(x, w, (s, s), "SAME")
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -174,13 +174,14 @@ def test_best_model_checkpoint_roundtrip(tmp_path, tiny_guidance):
 def test_save_guidance_snapshot(tmp_path, tiny_guidance):
     """--save_guidance triptych (render|noised|denoised) gets written."""
     g, gparams, emb = tiny_guidance
-    cfg = tiny_config(tmp_path, backbone="vanilla", iters=2,
+    cfg = tiny_config(tmp_path, backbone="vanilla", iters=3,
                       latent_iter_ratio=0.0, save_guidance=True,
                       save_guidance_interval=1)
     tr = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gparams},
                  embeddings={"SD": emb})
     state = tr.init_state(jax.random.PRNGKey(0))
-    state = tr.train(state, max_steps=2)
+    # dataset_size_train=3 → epoch 1 at step 3 (epoch 0 writes no snapshot)
+    state = tr.train(state, max_steps=3)
     gdir = os.path.join(tr.workspace, "guidance")
     files = os.listdir(gdir)
     assert files, "guidance triptych not written"

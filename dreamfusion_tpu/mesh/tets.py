@@ -110,3 +110,23 @@ def load_tet_grid(path: str, scale: float = 2.0) -> TetGrid:
     tets = data["indices"].astype(np.int64)
     n = int(round(len(verts) ** (1 / 3)))
     return build_topology(verts, tets, n)
+
+
+def load_cached_tet_grid(cache_path: str, n: int) -> TetGrid:
+    """generate_tet_grid with a topology disk cache (the 128-size unique-
+    edge build costs tens of seconds; DMTet runs shouldn't pay it twice)."""
+    import os
+    if os.path.exists(cache_path):
+        d = np.load(cache_path)
+        return TetGrid(vertices=d["vertices"], indices=d["indices"],
+                       unique_edges=d["unique_edges"],
+                       tet_edges=d["tet_edges"],
+                       resolution=int(d["resolution"]))
+    grid = generate_tet_grid(n)
+    os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+    tmp = cache_path + ".tmp.npz"
+    np.savez(tmp, vertices=grid.vertices, indices=grid.indices,
+             unique_edges=grid.unique_edges, tet_edges=grid.tet_edges,
+             resolution=grid.resolution)
+    os.replace(tmp, cache_path)
+    return grid

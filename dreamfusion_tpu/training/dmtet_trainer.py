@@ -26,7 +26,8 @@ import numpy as np
 import optax
 
 from ..config import Config
-from ..mesh.tets import generate_tet_grid, load_tet_grid
+from ..mesh.tets import (generate_tet_grid, load_cached_tet_grid,
+                         load_tet_grid)
 from ..models.dmtet import DMTetParams, DMTetRenderer
 from . import schedules
 from .data import circle_view_batch, sample_train_batch, six_view_batch
@@ -47,10 +48,18 @@ class DMTetTrainer(Trainer):
                  **kw):
         super().__init__(cfg, **kw)
         if tet_grid is None:
-            npz = os.path.join(os.path.dirname(__file__), os.pardir, os.pardir,
-                               "tets", f"{cfg.tet_grid_size}_tets.npz")
-            tet_grid = load_tet_grid(npz) if os.path.exists(npz) \
-                else generate_tet_grid(cfg.tet_grid_size)
+            tets_dir = os.path.abspath(os.path.join(
+                os.path.dirname(__file__), os.pardir, os.pardir, "tets"))
+            npz = os.path.join(tets_dir, f"{cfg.tet_grid_size}_tets.npz")
+            if os.path.exists(npz):
+                tet_grid = load_tet_grid(npz)
+            else:
+                # build once, cache the generated grid + topology to disk
+                # (the 128-size topology build is tens of seconds)
+                cache = os.path.join(
+                    os.path.expanduser("~/.cache/dftpu_tets"),
+                    f"cube_{cfg.tet_grid_size}.npz")
+                tet_grid = load_cached_tet_grid(cache, cfg.tet_grid_size)
         if max_tris is None:
             # surface ∝ T²; generous head-room, floor for tiny test grids
             max_tris = max(1 << 13, 24 * cfg.tet_grid_size ** 2)

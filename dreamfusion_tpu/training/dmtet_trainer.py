@@ -54,12 +54,15 @@ class DMTetTrainer(Trainer):
             if os.path.exists(npz):
                 tet_grid = load_tet_grid(npz)
             else:
-                # build once, cache the generated grid + topology to disk
-                # (the 128-size topology build is tens of seconds)
+                # build once, cache the generated grid + topology to disk.
+                # cubic n = size//2 matches quartet-`size` tet density
+                # (see generate_tet_grid's docstring) — n = size would be
+                # 8× denser than the reference's grids
+                n = max(8, cfg.tet_grid_size // 2)
                 cache = os.path.join(
                     os.path.expanduser("~/.cache/dftpu_tets"),
-                    f"cube_{cfg.tet_grid_size}.npz")
-                tet_grid = load_cached_tet_grid(cache, cfg.tet_grid_size)
+                    f"cube_{n}.npz")
+                tet_grid = load_cached_tet_grid(cache, n)
         if max_tris is None:
             # surface ∝ T²; generous head-room, floor for tiny test grids
             max_tris = max(1 << 13, 24 * cfg.tet_grid_size ** 2)

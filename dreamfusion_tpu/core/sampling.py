@@ -60,8 +60,12 @@ def sample_pdf(
         u = jnp.linspace(0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples)
         u = jnp.broadcast_to(u, (B, n_samples))
     else:
+        # stratified (jittered) draws: one sample per 1/n stratum — lower
+        # variance than iid uniform AND monotone in the sample index, so
+        # the inverse-CDF output is already sorted (callers need no sort)
         assert key is not None
-        u = jax.random.uniform(key, (B, n_samples))
+        u = (jnp.arange(n_samples) +
+             jax.random.uniform(key, (B, n_samples))) / n_samples
 
     inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
     below = jnp.maximum(inds - 1, 0)

@@ -109,8 +109,9 @@ def march_rays_occupancy(
     # no occupied voxels well-defined (their weights_sum will be ~0 anyway)
     pdf_w = occ.astype(jnp.float32) + 1e-3
     any_occ = jnp.any(occ, axis=-1, keepdims=True)
+    # sample_pdf draws are monotone in sample index (det: linspace;
+    # perturb: stratified) — already sorted, no sort needed
     z = sample_pdf(key, z_edges, pdf_w, n_fine, det=not perturb)  # [R, S]
-    z = jnp.sort(z, axis=-1)
     deltas = jnp.diff(z, axis=-1)
     mean_dt = (far - near) / n_fine
     deltas = jnp.concatenate([deltas, mean_dt], axis=-1)

@@ -132,3 +132,22 @@ def test_projection_mvp():
     # against a general 4x4 inverse
     ref = np.asarray(proj) @ np.linalg.inv(np.asarray(poses[0]))
     np.testing.assert_allclose(np.asarray(mvp[0]), ref, atol=1e-4)
+
+
+def test_sample_pdf_stratified_is_sorted(key):
+    """Perturbed draws are stratified → inverse-CDF output is monotone
+    (the occupancy march relies on this instead of sorting)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dreamfusion_tpu.core.sampling import sample_pdf
+
+    B, T = 16, 33
+    bins = jnp.cumsum(jax.random.uniform(key, (B, T)) + 0.01, axis=-1)
+    w = jax.random.uniform(jax.random.PRNGKey(5), (B, T - 1))
+    z = sample_pdf(jax.random.PRNGKey(6), bins, w, 64, det=False)
+    dz = np.diff(np.asarray(z), axis=-1)
+    assert (dz >= -1e-6).all()
+    # samples live within the bin range
+    assert (np.asarray(z) >= np.asarray(bins[:, :1]) - 1e-5).all()
+    assert (np.asarray(z) <= np.asarray(bins[:, -1:]) + 1e-5).all()

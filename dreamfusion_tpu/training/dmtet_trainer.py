@@ -64,8 +64,11 @@ class DMTetTrainer(Trainer):
                     f"cube_{n}.npz")
                 tet_grid = load_cached_tet_grid(cache, n)
         if max_tris is None:
-            # surface ∝ T²; generous head-room, floor for tiny test grids
-            max_tris = max(1 << 13, 24 * cfg.tet_grid_size ** 2)
+            # surface ∝ size²; 8·size² ≈ 4× a typical converged surface
+            # (the soak surface at size 128 was ~20k tris).  The budget is
+            # the rasterizer's per-tile top_k length — over-provisioning
+            # directly multiplies the stage's step time.
+            max_tris = max(1 << 13, 8 * cfg.tet_grid_size ** 2)
         max_tris = min(max_tris, 2 * tet_grid.num_tets)
         self.dmtet_renderer = DMTetRenderer(tet_grid, max_tris=max_tris)
         self.needs_density_grid = False

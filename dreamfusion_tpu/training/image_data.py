@@ -47,8 +47,10 @@ def parse_image_config(path: str) -> List[dict]:
     (reference main.py:234-246 / config/*.csv)."""
     rows = []
     with open(path) as f:
-        for row in csv.DictReader(f):
-            rows.append(row)
+        for row in csv.DictReader(f, skipinitialspace=True):
+            # the reference CSVs have spaces after commas in the header too
+            rows.append({k.strip(): (v.strip() if isinstance(v, str) else v)
+                         for k, v in row.items() if k is not None})
     return rows
 
 

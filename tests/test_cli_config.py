@@ -93,3 +93,16 @@ def test_image_config_csv_multiview(tmp_path):
     assert list(ref.azimuths) == [0.0, 180.0]
     assert list(ref.weights) == [1.0, 0.5]
     assert ref.mask[0].any()
+
+
+def test_reference_format_csv_with_spaces(tmp_path):
+    """The reference's config/*.csv have spaces after commas (and in the
+    header); the parser must accept them verbatim."""
+    from dreamfusion_tpu.training.image_data import parse_image_config
+    p = tmp_path / "v.csv"
+    p.write_text("zero123_weight, radius, polar, azimuth, image\n"
+                 "1, 3, 90, 0, data/front_rgba.png\n")
+    rows = parse_image_config(str(p))
+    assert rows[0]["image"] == "data/front_rgba.png"
+    assert float(rows[0]["polar"]) == 90.0
+    assert float(rows[0]["zero123_weight"]) == 1.0

@@ -67,14 +67,23 @@ def sample_pdf(
         u = (jnp.arange(n_samples) +
              jax.random.uniform(key, (B, n_samples))) / n_samples
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, T - 1)
-
-    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_hi = jnp.take_along_axis(cdf, above, axis=-1)
-    bin_lo = jnp.take_along_axis(bins, below, axis=-1)
-    bin_hi = jnp.take_along_axis(bins, above, axis=-1)
+    # dense rank instead of searchsorted: one [B, n, T] compare+sum keeps
+    # the VPU busy; vmapped binary search lowers to serial while-loops on
+    # TPU (measured as the dominant cost of the ray march)
+    inds = jnp.sum(cdf[:, None, :] <= u[:, :, None], axis=-1).astype(jnp.int32)
+    # cdf[0] == 0 <= u always, so inds >= 1: below = inds-1, above =
+    # min(inds, T-1) = min(below+1, T-1).  Fetch both via ONE one-hot and
+    # two MXU einsums over stacked (cdf, bins) — per-row take_along_axis
+    # gathers are row-latency-bound on TPU
+    below = inds - 1
+    onehot = (below[..., None] ==
+              jnp.arange(T, dtype=jnp.int32)).astype(bins.dtype)  # [B,n,T]
+    vals = jnp.stack([cdf, bins], axis=-1)                        # [B,T,2]
+    vals_hi = jnp.concatenate([vals[:, 1:], vals[:, -1:]], axis=1)
+    lo = jnp.einsum("bnt,btc->bnc", onehot, vals)
+    hi = jnp.einsum("bnt,btc->bnc", onehot, vals_hi)
+    cdf_lo, bin_lo = lo[..., 0], lo[..., 1]
+    cdf_hi, bin_hi = hi[..., 0], hi[..., 1]
 
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < 1e-5, 1.0, denom)

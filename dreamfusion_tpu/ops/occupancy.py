@@ -115,11 +115,15 @@ def march_rays_occupancy(
     deltas = jnp.diff(z, axis=-1)
     mean_dt = (far - near) / n_fine
     deltas = jnp.concatenate([deltas, mean_dt], axis=-1)
-    # mark all-empty rays so the network is still evaluated on valid coords
-    # but compositing gives them zero weight via the occupancy of the samples
-    sample_occ = occupancy_lookup(
-        occ_grid, rays_o[:, None, :] + rays_d[:, None, :] * z[..., None], bound
-    )
+    # sample validity = occupancy of the probe interval each draw landed in
+    # (a dense rank over the same edges the PDF used) — consistent with the
+    # resampling distribution and saves a second 3-D grid lookup
+    rank = jnp.sum(z_edges[:, None, :] <= z[..., None], axis=-1)   # [R, S]
+    interval = jnp.clip(rank - 1, 0, n_probe - 1)
+    onehot = (interval[..., None] ==
+              jnp.arange(n_probe)).astype(jnp.float32)             # [R,S,P]
+    sample_occ = jnp.einsum("rsp,rp->rs", onehot,
+                            occ.astype(jnp.float32)) > 0.5
     return MarchOut(z, deltas, sample_occ & any_occ)
 
 

@@ -153,22 +153,27 @@ def normal_consistency_loss(mesh: TetMesh) -> jax.Array:
 
     E = mesh.verts.shape[0]
     T = mesh.faces.shape[0]
-    keys, normals = [], []
-    for i, j in ((0, 1), (1, 2), (2, 0)):
-        lo = jnp.minimum(mesh.faces[:, i], mesh.faces[:, j]).astype(jnp.int64)
-        hi = jnp.maximum(mesh.faces[:, i], mesh.faces[:, j]).astype(jnp.int64)
-        k = lo * E + hi
-        # invalid faces get unique sentinel keys so they never pair up
-        k = jnp.where(mesh.face_mask, k,
-                      jnp.int64(E) * E + jnp.arange(T, dtype=jnp.int64))
-        keys.append(k)
+    los, his, normals = [], [], []
+    for idx, (i, j) in enumerate(((0, 1), (1, 2), (2, 0))):
+        lo = jnp.minimum(mesh.faces[:, i], mesh.faces[:, j])
+        hi = jnp.maximum(mesh.faces[:, i], mesh.faces[:, j])
+        # invalid faces get unique sentinel keys so they never pair up.
+        # NOTE: a single lo*E+hi int key would overflow int32 for real
+        # edge counts (E ~ 2M ⇒ keys ~ 4e12) — and jnp silently truncates
+        # int64 with x64 disabled.  Sort lexicographically on (lo, hi)
+        # int32 keys instead.
+        lo = jnp.where(mesh.face_mask, lo, E + idx * T +
+                       jnp.arange(T, dtype=lo.dtype))
+        los.append(lo)
+        his.append(hi)
         normals.append(fn)
-    keys = jnp.concatenate(keys)                                      # [3T]
+    lo = jnp.concatenate(los)                                         # [3T]
+    hi = jnp.concatenate(his)
     normals = jnp.concatenate(normals)                                # [3T, 3]
-    order = jnp.argsort(keys)
-    ks = keys[order]
-    ns = normals[order]
-    pair = ks[1:] == ks[:-1]                                          # [3T-1]
+    ks_lo, ks_hi, n0, n1, n2 = jax.lax.sort(
+        (lo, hi, normals[:, 0], normals[:, 1], normals[:, 2]), num_keys=2)
+    ns = jnp.stack([n0, n1, n2], axis=-1)
+    pair = (ks_lo[1:] == ks_lo[:-1]) & (ks_hi[1:] == ks_hi[:-1])      # [3T-1]
     cos = jnp.sum(ns[1:] * ns[:-1], axis=-1)
     loss = jnp.where(pair, 1.0 - cos, 0.0)
     return jnp.sum(loss) / jnp.maximum(jnp.sum(pair), 1)

@@ -109,21 +109,37 @@ def rasterize(
          jnp.broadcast_to(py, (tile, tile))], axis=-1)                 # [t,t,2]
 
     def raster_tile(x0, y0, q0, q1, q2, qz, qgot, qid):
+        # barycentrics are LINEAR in pixel coords, so the whole
+        # (pixel × triangle) sweep is one MXU einsum over per-triangle
+        # coefficient stacks instead of P×C elementwise VPU math
         pix = pxy + jnp.array([x0, y0], jnp.float32)                   # [t,t,2]
-        pix = pix.reshape(-1, 1, 2)                                    # [P,1,2]
+        pixh = jnp.concatenate(
+            [pix.reshape(-1, 2), jnp.ones((tile * tile, 1))], -1)      # [P,3]
         e0 = q1 - q0                                                   # [C,2]
         e1 = q2 - q0
         den = e0[:, 0] * e1[:, 1] - e0[:, 1] * e1[:, 0]                # [C]
         den = jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
-        d = pix - q0[None, :, :]                                       # [P,C,2]
-        bu = (d[..., 0] * e1[:, 1] - d[..., 1] * e1[:, 0]) / den       # [P,C]
-        bv = (d[..., 1] * e0[:, 0] - d[..., 0] * e0[:, 1]) / den
+        inv = 1.0 / den
+        # bu = ((px - q0x)·e1y − (py − q0y)·e1x) / den  →  a·px + b·py + c
+        cu = jnp.stack([e1[:, 1] * inv, -e1[:, 0] * inv,
+                        (q0[:, 1] * e1[:, 0] - q0[:, 0] * e1[:, 1]) * inv],
+                       axis=-1)                                        # [C,3]
+        cv = jnp.stack([-e0[:, 1] * inv, e0[:, 0] * inv,
+                        (q0[:, 0] * e0[:, 1] - q0[:, 1] * e0[:, 0]) * inv],
+                       axis=-1)
+        # z is linear in (bu, bv): z = z0 + bu(z1−z0) + bv(z2−z0)
+        cz = (cu * (qz[:, 1] - qz[:, 0])[:, None]
+              + cv * (qz[:, 2] - qz[:, 0])[:, None])
+        cz = cz.at[:, 2].add(qz[:, 0])
+        coeffs = jnp.stack([cu, cv, cz], axis=1)                       # [C,3,3]
+        vals = jnp.einsum("pk,cok->pco", pixh, coeffs,
+                          preferred_element_type=jnp.float32)          # [P,C,3]
+        bu, bv, zval = vals[..., 0], vals[..., 1], vals[..., 2]
         bw = 1.0 - bu - bv
         inside = (bu >= 0) & (bv >= 0) & (bw >= 0) & qgot[None, :]
-        zval = bw * qz[:, 0] + bu * qz[:, 1] + bv * qz[:, 2]           # [P,C]
         zsort = jnp.where(inside, zval, jnp.inf)
         best = jnp.argmin(zsort, axis=-1)                              # [P]
-        pr = jnp.arange(pix.shape[0])
+        pr = jnp.arange(pixh.shape[0])
         hit = inside[pr, best]
         bary = jnp.stack([bw[pr, best], bu[pr, best], bv[pr, best]],
                          axis=-1)                                      # [P,3]

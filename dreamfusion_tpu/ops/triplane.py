@@ -54,29 +54,39 @@ def init_triplane(key: jax.Array, spec: TriplaneSpec, scale: float = 1e-1
             for k, r in zip(keys, spec.resolutions)]
 
 
+def _quad_pack(planes: jax.Array) -> jax.Array:
+    """[3, R, R, C] → [3, R, R, 4C]: row (y, x) holds the 2×2 bilinear
+    corner block [(y,x), (y,x+1), (y+1,x), (y+1,x+1)], edge-clamped.
+
+    Gathers on this backend are *row-latency-bound* (~6.5 ns gathered /
+    ~60 ns scattered row, independent of width up to the 128-lane pad —
+    CLAUDE.md gotcha #3).  Packing the four corners into one ≤128-lane row
+    turns 4 gathered rows per (sample, plane) into 1, and — decisively —
+    the backward scatter-add from 4 rows into 1; the pack itself and its
+    adjoint (four shifted dense adds) are cheap dense ops XLA fuses."""
+    px = jnp.concatenate([planes[:, :, 1:], planes[:, :, -1:]], axis=2)
+    py = jnp.concatenate([planes[:, 1:], planes[:, -1:]], axis=1)
+    pxy = jnp.concatenate([px[:, 1:], px[:, -1:]], axis=1)
+    return jnp.concatenate([planes, px, py, pxy], axis=-1)
+
+
 def _bilinear_plane(planes: jax.Array, uv: jax.Array) -> jax.Array:
     """planes [3, R, R, C], uv [N, 3, 2] in [0, 1] → [N, 3, C].
 
-    One fused gather of 12 rows/point from the flattened plane stack —
-    keeps the row count (the TPU cost metric) explicit and minimal."""
+    One quad-packed gather of 3 rows/point (one per plane) — see
+    `_quad_pack` for why this is the minimal row count."""
     R = planes.shape[1]
     C = planes.shape[-1]
     pos = jnp.clip(uv, 0.0, 1.0) * (R - 1)
     p0 = jnp.floor(pos)
     frac = pos - p0                                         # [N, 3, 2]
     i0 = p0.astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, R - 1)
 
-    flat = planes.reshape(3 * R * R, C)
+    quads = _quad_pack(planes)                              # [3, R, R, 4C]
+    flat = quads.reshape(3 * R * R, 4 * C)
     base = jnp.arange(3, dtype=jnp.int32)[None, :] * (R * R)   # [1, 3]
-
-    def idx(iy, ix):
-        return base + iy[..., 0] * R + ix[..., 1]           # [N, 3]
-
-    # gather all 4 corners in one op: [N, 3, 4]
-    ids = jnp.stack([idx(i0, i0), idx(i0, i1), idx(i1, i0), idx(i1, i1)],
-                    axis=-1)
-    vals = flat[ids.reshape(-1)].reshape(*ids.shape, C)     # [N, 3, 4, C]
+    ids = base + i0[..., 0] * R + i0[..., 1]                # [N, 3]
+    vals = flat[ids.reshape(-1)].reshape(*ids.shape, 4, C)  # [N, 3, 4, C]
     fy, fx = frac[..., 0:1], frac[..., 1:2]                 # [N, 3, 1]
     w = jnp.stack([(1 - fy) * (1 - fx), (1 - fy) * fx,
                    fy * (1 - fx), fy * fx], axis=-2)        # [N, 3, 4, 1]

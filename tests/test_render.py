@@ -198,3 +198,38 @@ def test_dt_gamma_geometric_probe_spacing():
     # both cover [near, far]
     np.testing.assert_allclose(du.sum(), 5.9, rtol=1e-5)
     np.testing.assert_allclose(dg.sum(), 5.9, rtol=1e-5)
+
+
+def test_grid_path_use_bg_net_routes_and_trains_bg_mlp(key):
+    """Regression: render_grid must forward use_bg_net so the per-step
+    bg-MLP-vs-random-color choice (reference nerf/utils.py:529-534) also
+    works on the occupancy path, and the bg net receives gradient."""
+    model = _tiny_renderer("grid")
+    ro = jnp.array([[0.0, 0.0, 3.2]] * 4)
+    rd = jnp.array([[0.05, 0.0, -1.0]] * 4)
+    occ = jnp.ones((1, 16, 16, 16), bool)
+    flags = RenderFlags(perturb=False, shading_static_albedo=True)
+    bg = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), ro.shape)
+    variables = model.init({"params": key, "render": key}, flags, ro, rd,
+                           occ_grid=occ, bg_color=bg,
+                           use_bg_net=jnp.asarray(False), method=model.render)
+
+    def img(use_net):
+        return model.apply(variables, flags, ro, rd, occ_grid=occ,
+                           bg_color=bg, use_bg_net=jnp.asarray(use_net),
+                           method=model.render)["image"]
+
+    # with an untrained field the render is background-dominated; switching
+    # the bg source must change the image
+    assert not np.allclose(np.asarray(img(True)), np.asarray(img(False)))
+
+    def loss(v):
+        out = model.apply(v, flags, ro, rd, occ_grid=occ, bg_color=bg,
+                          use_bg_net=jnp.asarray(True), method=model.render)
+        return jnp.mean(out["image"] ** 2)
+
+    g = jax.grad(loss)(variables)["params"]["field"]
+    bg_leaves = [v for k, v in jax.tree_util.tree_flatten_with_path(g)[0]
+                 if "bg" in jax.tree_util.keystr(k)]
+    assert bg_leaves, "no bg params found"
+    assert sum(float(jnp.abs(x).sum()) for x in bg_leaves) > 0

@@ -128,6 +128,35 @@ def _level_index(pos_grid: jax.Array, res: int, hashmap_size: int,
     return (index % jnp.uint32(hashmap_size)).astype(jnp.int32)
 
 
+def _corner_pack(slab: jax.Array) -> jax.Array:
+    """[res, ..., res, C] (D spatial dims, axis d_spatial = D-1-d in corner-
+    bit terms) → [res, ..., res, 2^D * C]: each cell's row holds all 2^D
+    interpolation corners, edge-clamped.
+
+    Same rationale as ops/triplane._quad_pack: gathers/scatters on this
+    backend cost per ROW (~6.5/60 ns independent of width ≤128 lanes), so
+    packing the corner block turns 2^D rows per (sample, level) into 1.
+    Only possible for *dense* (tiled) levels where corners are lattice
+    neighbors — hashed levels scatter corners across the table."""
+    D = slab.ndim - 1
+
+    def shift(a, axis):
+        lo = [slice(None)] * a.ndim
+        hi = [slice(None)] * a.ndim
+        lo[axis] = slice(1, None)
+        hi[axis] = slice(-1, None)
+        return jnp.concatenate([a[tuple(lo)], a[tuple(hi)]], axis=axis)
+
+    corners = []
+    for corner in range(1 << D):
+        s = slab
+        for d in range(D):
+            if (corner >> d) & 1:
+                s = shift(s, D - 1 - d)
+        corners.append(s)
+    return jnp.concatenate(corners, axis=-1)
+
+
 def hash_encode(
     x: jax.Array,                     # [N, D] in [0, 1]
     table: jax.Array,                 # [table_size, C] fp32
@@ -168,18 +197,33 @@ def hash_encode(
             w_frac = frac
         base = pos_grid.astype(jnp.uint32)                      # [N, D]
 
-        level_out = jnp.zeros((N, C), dtype=jnp.float32)
-        for corner in range(1 << D):
-            sel = jnp.asarray(
-                [(corner >> d) & 1 for d in range(D)], dtype=jnp.uint32
-            )
-            pg = jnp.minimum(base + sel, jnp.uint32(res - 1))   # [N, D]
-            w = jnp.prod(
-                jnp.where(sel.astype(bool), w_frac, 1.0 - w_frac), axis=-1
-            )                                                   # [N]
-            idx = _level_index(pg, res, hsize, spec.gridtype)   # [N]
-            vals = table[off + idx]                             # gather [N, C]
-            level_out = level_out + w[:, None] * vals
+        # per-corner interpolation weights [N, 2^D] (corner bit d = dim d)
+        bits = jnp.asarray(
+            [[(corner >> d) & 1 for d in range(D)]
+             for corner in range(1 << D)], dtype=jnp.float32)   # [2^D, D]
+        w_all = jnp.prod(
+            jnp.where(bits[None].astype(bool), w_frac[:, None, :],
+                      1.0 - w_frac[:, None, :]), axis=-1)       # [N, 2^D]
+
+        if hsize == res ** D:
+            # dense (tiled) level: ONE corner-packed gather per sample.
+            # slab axes are (d_{D-1}, ..., d_0, C) since the stride order in
+            # _level_index is x + y*res + z*res^2
+            slab = table[off:off + hsize].reshape((res,) * D + (C,))
+            packed = _corner_pack(slab).reshape(hsize, (1 << D) * C)
+            idx = _level_index(base, res, hsize, spec.gridtype)  # [N]
+            vals = packed[idx].reshape(N, 1 << D, C)
+            level_out = jnp.einsum("nk,nkc->nc", w_all, vals)
+        else:
+            level_out = jnp.zeros((N, C), dtype=jnp.float32)
+            for corner in range(1 << D):
+                sel = jnp.asarray(
+                    [(corner >> d) & 1 for d in range(D)], dtype=jnp.uint32
+                )
+                pg = jnp.minimum(base + sel, jnp.uint32(res - 1))   # [N, D]
+                idx = _level_index(pg, res, hsize, spec.gridtype)   # [N]
+                vals = table[off + idx]                             # [N, C]
+                level_out = level_out + w_all[:, corner, None] * vals
 
         if n_active is not None:
             level_out = level_out * (l < n_active).astype(level_out.dtype)

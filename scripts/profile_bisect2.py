@@ -115,7 +115,7 @@ def main():
         from dreamfusion_tpu.training.data import CameraBatch
         batch = CameraBatch(None, None, None, None,
                             jnp.zeros((1,)), az, jnp.zeros((1,)))
-        return tr._guidance_loss({"SD": gparams}, key, img, batch,
+        return tr._guidance_loss(gparams, key, img, batch,
                                  as_latent=False)
 
     @jax.jit
@@ -135,20 +135,26 @@ def main():
     results = {}
     results["A_batch_sampling"] = timeit(
         var_a, lambda i: (state.params, state, jax.random.PRNGKey(i)))
+    print("A", results["A_batch_sampling"] * 1e3, flush=True)
     results["B_plus_render"] = timeit(
         var_b, lambda i: (state.params, state, jax.random.PRNGKey(i)))
+    print("B", results["B_plus_render"] * 1e3, flush=True)
     results["C_plus_regs"] = timeit(
         var_c, lambda i: (state.params, state, jax.random.PRNGKey(i)))
+    print("C", results["C_plus_regs"] * 1e3, flush=True)
+
+    gp_dev = tr._guidance_params_on_device()
 
     def d_args(i):
         k = jax.random.PRNGKey(i)
         img = jax.random.uniform(k, (1, H, W, 3))
         az = jax.random.uniform(k, (1,), minval=-180.0, maxval=180.0)
-        return gp, k, img, az
+        return gp_dev, k, img, az
 
     results["D_guidance_only"] = timeit(var_d, d_args)
+    print("D", results["D_guidance_only"] * 1e3, flush=True)
     results["E_full_fwd"] = timeit(
-        var_e, lambda i: (state.params, state, jax.random.PRNGKey(i), gp))
+        var_e, lambda i: (state.params, state, jax.random.PRNGKey(i), gp_dev))
 
     print("\n==== fine bisect (ms) ====")
     for k, v in results.items():

@@ -25,6 +25,7 @@ from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 
+from ..ops.attention import attention
 from ..ops.conv import MMConv
 import jax
 import jax.numpy as jnp
@@ -140,7 +141,7 @@ class CrossAttention(nn.Module):
         q = q.reshape(B, N, self.num_heads, self.head_dim)
         k = k.reshape(B, M, self.num_heads, self.head_dim)
         v = v.reshape(B, M, self.num_heads, self.head_dim)
-        out = jax.nn.dot_product_attention(q, k, v)
+        out = attention(q, k, v)
         out = out.reshape(B, N, inner)
         return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
 

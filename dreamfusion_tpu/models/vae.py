@@ -15,6 +15,7 @@ from typing import Any, NamedTuple, Tuple
 
 import flax.linen as nn
 
+from ..ops.attention import attention
 from ..ops.conv import MMConv
 import jax
 import jax.numpy as jnp
@@ -74,7 +75,7 @@ class VAEAttn(nn.Module):
         q = MMConv(C, (1, 1), dtype=self.dtype, name="q")(h).reshape(B, H * W, 1, C)
         k = MMConv(C, (1, 1), dtype=self.dtype, name="k")(h).reshape(B, H * W, 1, C)
         v = MMConv(C, (1, 1), dtype=self.dtype, name="v")(h).reshape(B, H * W, 1, C)
-        o = jax.nn.dot_product_attention(q, k, v).reshape(B, H, W, C)
+        o = attention(q, k, v).reshape(B, H, W, C)
         return x + MMConv(C, (1, 1), dtype=self.dtype, name="proj_out")(o)
 
 

@@ -62,9 +62,10 @@ def main():
     jax.block_until_ready(state0.params)
 
     H, W = cfg.h, cfg.w
-    flags = RenderFlags(perturb=True, need_loss_orient=cfg.lambda_orient > 0)
 
-    def loss_fn(params, state, key, gparams, use_guidance):
+    def loss_fn(params, state, key, gparams, use_guidance,
+                use_orient=True, use_entropy=True):
+        flags = RenderFlags(perturb=True, need_loss_orient=use_orient)
         k_batch, k_choice, k_render, k_guide, _ = jax.random.split(key, 5)
         r_exp = schedules.iter_ratio(state.step, 0, cfg.iters)
         batch = sample_train_batch(k_batch, cfg, H, W, None, None, None, None)
@@ -89,19 +90,22 @@ def main():
         else:
             loss = jnp.sum(image) * 1e-6
         loss = loss + cfg.lambda_opacity * jnp.mean(wsum ** 2)
-        a = jnp.clip(out["weights"], 1e-5, 1 - 1e-5)
-        ent = jnp.mean(-a * jnp.log2(a) - (1 - a) * jnp.log2(1 - a))
-        loss = loss + schedules.lambda_entropy_at(cfg, state.step) * ent
-        loss = loss + cfg.lambda_orient * out["loss_orient"]
+        if use_entropy:
+            a = jnp.clip(out["weights"], 1e-5, 1 - 1e-5)
+            ent = jnp.mean(-a * jnp.log2(a) - (1 - a) * jnp.log2(1 - a))
+            loss = loss + schedules.lambda_entropy_at(cfg, state.step) * ent
+        if use_orient:
+            loss = loss + cfg.lambda_orient * out["loss_orient"]
         return loss
 
-    def make_step_scan(K, use_guidance):
+    def make_step_scan(K, use_guidance, use_orient=True, use_entropy=True):
         @jax.jit
         def run(state, gparams, key0):
             def body(state, i):
                 k = jax.random.fold_in(key0, i)
                 loss, grads = jax.value_and_grad(loss_fn)(
-                    state.params, state, k, gparams, use_guidance)
+                    state.params, state, k, gparams, use_guidance,
+                    use_orient, use_entropy)
                 state = apply_updates_guarded(tr.optimizer, cfg, state, grads)
                 return state, loss
             state, losses = jax.lax.scan(body, state, jnp.arange(K))
@@ -119,18 +123,30 @@ def main():
                 state = apply_updates_guarded(tr.optimizer, cfg, state, g)
                 return state, jnp.float32(0)
             state, _ = jax.lax.scan(body, state, jnp.arange(K))
-            return state.step, jnp.sum(state.params["field"]["triplanes"]
-                                       .astype(jnp.float32))
+            import optax
+            return state.step, optax.global_norm(state.params)
         return run
 
+    # sacrifice a tiny program first: the FIRST executable a process runs
+    # through the tunnel shows a pathological ~100 s/call mode (measured in
+    # S1/T3); absorb it here so real measurements are clean
+    warm = jax.jit(lambda x: jnp.sum(x * 2))
+    for i in range(3):
+        float(warm(jnp.ones((8, 8)) * i))
+
+    gpd = {"SD": gp}
     results = {}
     for name, make, args in [
         ("T3_opt_only", lambda K: make_opt_scan(K),
          (state0, jax.random.PRNGKey(3))),
         ("T2_step_noguid", lambda K: make_step_scan(K, False),
-         (state0, gp, jax.random.PRNGKey(4))),
+         (state0, gpd, jax.random.PRNGKey(4))),
+        ("T4_noguid_noorient", lambda K: make_step_scan(K, False, False),
+         (state0, gpd, jax.random.PRNGKey(6))),
+        ("T5_noguid_bare", lambda K: make_step_scan(K, False, False, False),
+         (state0, gpd, jax.random.PRNGKey(7))),
         ("T1_step_full", lambda K: make_step_scan(K, True),
-         (state0, gp, jax.random.PRNGKey(5))),
+         (state0, gpd, jax.random.PRNGKey(5))),
     ]:
         t1 = scan_time(make(1), *args)
         t9 = scan_time(make(9), *args)

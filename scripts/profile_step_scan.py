@@ -64,8 +64,9 @@ def main():
     H, W = cfg.h, cfg.w
 
     def loss_fn(params, state, key, gparams, use_guidance,
-                use_orient=True, use_entropy=True):
-        flags = RenderFlags(perturb=True, need_loss_orient=use_orient)
+                use_orient=True, use_entropy=True, use_shading=True):
+        flags = RenderFlags(perturb=True, need_loss_orient=use_orient,
+                            shading_static_albedo=not use_shading)
         k_batch, k_choice, k_render, k_guide, _ = jax.random.split(key, 5)
         r_exp = schedules.iter_ratio(state.step, 0, cfg.iters)
         batch = sample_train_batch(k_batch, cfg, H, W, None, None, None, None)
@@ -98,14 +99,15 @@ def main():
             loss = loss + cfg.lambda_orient * out["loss_orient"]
         return loss
 
-    def make_step_scan(K, use_guidance, use_orient=True, use_entropy=True):
+    def make_step_scan(K, use_guidance, use_orient=True, use_entropy=True,
+                       use_shading=True):
         @jax.jit
         def run(state, gparams, key0):
             def body(state, i):
                 k = jax.random.fold_in(key0, i)
                 loss, grads = jax.value_and_grad(loss_fn)(
                     state.params, state, k, gparams, use_guidance,
-                    use_orient, use_entropy)
+                    use_orient, use_entropy, use_shading)
                 state = apply_updates_guarded(tr.optimizer, cfg, state, grads)
                 return state, loss
             state, losses = jax.lax.scan(body, state, jnp.arange(K))
@@ -145,6 +147,9 @@ def main():
          (state0, gpd, jax.random.PRNGKey(6))),
         ("T5_noguid_bare", lambda K: make_step_scan(K, False, False, False),
          (state0, gpd, jax.random.PRNGKey(7))),
+        ("T6_noguid_albedo",
+         lambda K: make_step_scan(K, False, False, True, False),
+         (state0, gpd, jax.random.PRNGKey(8))),
         ("T1_step_full", lambda K: make_step_scan(K, True),
          (state0, gpd, jax.random.PRNGKey(5))),
     ]:

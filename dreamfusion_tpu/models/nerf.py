@@ -31,7 +31,8 @@ from ..core.math import safe_normalize
 from ..ops.activation import density_activation
 from ..ops.freq import freq_encode, freq_encode_dim
 from ..ops.hashgrid import HashGridSpec, hash_encode, init_hashgrid
-from ..ops.triplane import TriplaneSpec, init_triplane, triplane_encode
+from ..ops.triplane import (TriplaneSpec, init_triplane, triplane_encode,
+                            triplane_encode_with_xgrad)
 
 SHADING_ALBEDO = 0
 SHADING_LAMBERTIAN = 1
@@ -202,6 +203,46 @@ class NeRFField(nn.Module):
         sigma, albedo = self.common(x, max_level)
         return {"sigma": sigma, "albedo": albedo}
 
+    def common_with_normal(self, x: jax.Array,
+                           max_level: Optional[jax.Array] = None):
+        """(σ, albedo, normal) from ONE encoder gather (triplane only).
+
+        Autograd normals re-differentiate the encoder gather; each
+        differentiation context transposes to its own plane scatter-add —
+        the lambertian train step compiled to 4 separate 1.18M-row scatters
+        (~25 ms/step extra, scripts/profile_step_scan.py T5 vs T6).  Here
+        the encoder's spatial jacobian is closed-form
+        (ops/triplane.triplane_encode_with_xgrad), normals chain it with an
+        MLP-only VJP, and the training backward emits ONE scatter.
+        Numerically identical to `_autograd_normal` (tests/test_triplane.py).
+        """
+        assert self.backbone == "triplane"
+        u = (x + self.bound) / (2 * self.bound)
+        feat, jac = triplane_encode_with_xgrad(
+            u, self.triplanes, self.triplane_spec, max_level=max_level,
+            out_dtype=self.compute_dtype)
+
+        def head(f):
+            return self.sigma_net(f).astype(jnp.float32)
+
+        h, head_vjp = jax.vjp(head, feat)
+        sigma_pre = h[..., 0] + self.density_blob(x)
+        sigma = self._density_act(sigma_pre)
+        albedo = jax.nn.sigmoid(h[..., 1:])
+        # ∂h0/∂feat via an MLP-only VJP (the density blob is stop-gradient'd,
+        # matching _autograd_normal); trunc_exp's clamped custom gradient is
+        # honored by taking the activation derivative through its vjp too.
+        ct = jnp.concatenate([jnp.ones_like(h[..., :1]),
+                              jnp.zeros_like(h[..., 1:])], axis=-1)
+        (dh0_dfeat,) = head_vjp(ct)                          # [N, D]
+        _, act_vjp = jax.vjp(self._density_act, sigma_pre)
+        (dsig,) = act_vjp(jnp.ones_like(sigma_pre))          # [N]
+        g = jnp.einsum("nd,ndk->nk", dh0_dfeat.astype(jnp.float32),
+                       jac.astype(jnp.float32))
+        g = g * dsig[:, None] / (2 * self.bound)
+        normal = jnp.nan_to_num(safe_normalize(-g))
+        return sigma, albedo, normal
+
     # -- normals ----------------------------------------------------------
     def normal(self, x: jax.Array,
                max_level: Optional[jax.Array] = None,
@@ -209,6 +250,9 @@ class NeRFField(nn.Module):
         if self.normal_mode == "finite_difference" and \
                 self.backbone != "vanilla":
             n = self._finite_difference_normal(x, max_level, eps)
+        elif self.backbone == "triplane":
+            _, _, n = self.common_with_normal(x, max_level)
+            return n
         else:
             n = self._autograd_normal(x, max_level)
         n = safe_normalize(n)
@@ -257,6 +301,9 @@ class NeRFField(nn.Module):
                 self.backbone != "vanilla":
             sigma, albedo = self.common(x, max_level)
             normal = self.normal(x, max_level)
+        elif self.backbone == "triplane":
+            # analytic encoder jacobian → one gather, one backward scatter
+            sigma, albedo, normal = self.common_with_normal(x, max_level)
         else:
             # one fused pass: value_and_grad shares the encoder+MLP forward
             # between (σ, albedo) and the autograd normal −∇σ, instead of

@@ -130,6 +130,102 @@ def triplane_encode(
     return out
 
 
+def _bilinear_plane_with_grad(planes: jax.Array, uv: jax.Array
+                              ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Like `_bilinear_plane` but also returns the exact spatial derivative
+    of the interpolated feature wrt the two plane coordinates, computed
+    from the SAME quad-packed gather rows.
+
+    Why: autograd normals (`jax.grad` of σ) re-differentiate the gather, and
+    every differentiation context transposes to its own scatter-add into the
+    planes — the lambertian train step compiled to 4 separate 1.18M-row
+    scatters (measured ~25 ms extra, scripts/profile_step_scan.py T5 vs T6).
+    Closed-form bilinear derivatives keep the whole (feature, ∂feature/∂x)
+    pair linear in ONE gather's output, so the training backward emits ONE
+    scatter (tests/test_triplane.py asserts the HLO scatter count).
+
+    Returns (feat [N,3,C], dfeat/du [N,3,C], dfeat/dv [N,3,C]) where u is
+    the row coordinate (uv[...,0]) and v the column, both in [0,1]; the
+    derivatives are in [0,1]-units (already scaled by R-1) and zero outside
+    the clipped domain (matching `jnp.clip`'s vjp almost everywhere)."""
+    R = planes.shape[1]
+    C = planes.shape[-1]
+    inside = (uv > 0.0) & (uv < 1.0)                        # [N, 3, 2]
+    pos = jnp.clip(uv, 0.0, 1.0) * (R - 1)
+    p0 = jnp.floor(pos)
+    frac = pos - p0                                         # [N, 3, 2]
+    i0 = p0.astype(jnp.int32)
+
+    quads = _quad_pack(planes)                              # [3, R, R, 4C]
+    flat = quads.reshape(3 * R * R, 4 * C)
+    base = jnp.arange(3, dtype=jnp.int32)[None, :] * (R * R)
+    ids = base + i0[..., 0] * R + i0[..., 1]                # [N, 3]
+    vals = flat[ids.reshape(-1)].reshape(*ids.shape, 4, C)  # [N, 3, 4, C]
+    fy, fx = frac[..., 0:1], frac[..., 1:2]                 # [N, 3, 1]
+    w = jnp.stack([(1 - fy) * (1 - fx), (1 - fy) * fx,
+                   fy * (1 - fx), fy * fx], axis=-2)        # [N, 3, 4, 1]
+    dw_du = jnp.stack([-(1 - fx), -fx, (1 - fx), fx], axis=-2)
+    dw_dv = jnp.stack([-(1 - fy), (1 - fy), -fy, fy], axis=-2)
+    scale = jnp.float32(R - 1)
+    mask_u = inside[..., 0:1].astype(w.dtype)               # [N, 3, 1]
+    mask_v = inside[..., 1:2].astype(w.dtype)
+    feat = jnp.sum(vals * w, axis=-2)
+    dfeat_du = jnp.sum(vals * dw_du, axis=-2) * scale * mask_u
+    dfeat_dv = jnp.sum(vals * dw_dv, axis=-2) * scale * mask_v
+    return feat, dfeat_du, dfeat_dv
+
+
+def triplane_encode_with_xgrad(
+    x: jax.Array,                      # [N, 3] in [0, 1]
+    planes: List[jax.Array],
+    spec: TriplaneSpec,
+    max_level: Optional[jax.Array] = None,
+    out_dtype=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """`triplane_encode` plus the exact jacobian ∂feat/∂x ([N, D, 3], in
+    [0,1]-coordinate units), from one gather per (sample, plane, scale)."""
+    xf = jnp.clip(x.astype(jnp.float32), 0.0, 1.0)
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1, keepdims=True)
+
+    S = spec.num_scales
+    n_active = (jnp.clip(jnp.ceil(max_level * S), 1, S)
+                if max_level is not None else None)
+
+    feats, jacs = [], []
+    N = x.shape[0]
+    for s, r in enumerate(spec.resolutions):
+        uv = jnp.stack([xf[:, (a, b)] for a, b in _PLANE_AXES], axis=1)
+        feat, dfu, dfv = _bilinear_plane_with_grad(planes[s], uv)  # [N,3,C]
+        C = feat.shape[-1]
+        # route plane-coordinate derivatives to xyz axes
+        # (_PLANE_AXES = xy, xz, yz: u is the first listed axis, v the second)
+        z0 = jnp.zeros_like(dfu[:, 0])
+        jx = jnp.stack([dfu[:, 0], dfu[:, 1], z0], axis=1)   # ∂/∂x per plane
+        jy = jnp.stack([dfv[:, 0], z0, dfu[:, 2]], axis=1)   # ∂/∂y
+        jz = jnp.stack([z0, dfv[:, 1], dfv[:, 2]], axis=1)   # ∂/∂z
+        jac = jnp.stack([jx, jy, jz], axis=-1)               # [N,plane,C,xyz]
+        if spec.reduce == "sum":
+            feat = jnp.sum(feat, axis=1)                    # [N, C]
+            jac = jnp.sum(jac, axis=1)                      # [N, C, 3]
+        else:
+            feat = feat.reshape(N, 3 * C)
+            jac = jac.reshape(N, 3 * C, 3)
+        if n_active is not None:
+            m = ((S - 1 - s) < n_active).astype(feat.dtype)
+            feat = feat * m
+            jac = jac * m
+        feats.append(feat)
+        jacs.append(jac)
+    feat = jnp.concatenate(feats, axis=-1)
+    jac = jnp.concatenate(jacs, axis=-2)
+    feat = jnp.where(oob, 0.0, feat)
+    jac = jnp.where(oob[..., None], 0.0, jac)
+    if out_dtype is not None:
+        feat = feat.astype(out_dtype)
+        jac = jac.astype(out_dtype)
+    return feat, jac
+
+
 def triplane_tv_loss(planes: List[jax.Array]) -> jax.Array:
     """Total-variation regularizer over all planes (the dense analog of the
     hash grid's grad_total_variation, gridencoder/grid.py:172-193)."""

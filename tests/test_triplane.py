@@ -109,3 +109,107 @@ def test_train_loop_smoke_triplane(tmp_path):
     assert moved > 0
     leaves = jax.tree_util.tree_leaves(state.params)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+# ---- analytic encoder jacobian (triplane_encode_with_xgrad) --------------
+
+def _mk_field(compute_dtype=jnp.float32, scales=2):
+    from dreamfusion_tpu.models.nerf import NeRFField
+    return NeRFField(backbone="triplane", bound=1.0, hidden_dim=16,
+                     num_layers=2, bg_radius=-1.0,
+                     triplane_resolution=32, triplane_channels=4,
+                     triplane_scales=scales, compute_dtype=compute_dtype)
+
+
+def test_xgrad_matches_autograd_jacobian():
+    from dreamfusion_tpu.ops.triplane import triplane_encode_with_xgrad
+    spec = TriplaneSpec(resolution=16, channels=3, num_scales=2)
+    planes = init_triplane(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3),
+                           minval=0.02, maxval=0.98)
+    feat, jac = triplane_encode_with_xgrad(x, planes, spec)
+    ref_feat = triplane_encode(x, planes, spec)
+    np.testing.assert_allclose(np.asarray(feat), np.asarray(ref_feat),
+                               atol=1e-6, rtol=1e-6)
+    ref_jac = jax.vmap(jax.jacrev(
+        lambda p: triplane_encode(p[None], planes, spec)[0]))(x)
+    np.testing.assert_allclose(np.asarray(jac), np.asarray(ref_jac),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_analytic_normal_matches_autograd():
+    field = _mk_field()
+    x = jax.random.uniform(jax.random.PRNGKey(2), (128, 3),
+                           minval=-0.9, maxval=0.9)
+    params = field.init(jax.random.PRNGKey(3), x, method=field.density)["params"]
+
+    sigma, albedo, normal = field.apply({"params": params}, x,
+                                        method=field.common_with_normal)
+    n_ref = field.apply({"params": params}, x, method=lambda m, xx: m._autograd_normal(xx, None))
+    n_ref = jnp.nan_to_num(jax.vmap(lambda v: v / jnp.maximum(
+        jnp.linalg.norm(v), 1e-20))(n_ref))
+    d_ref = field.apply({"params": params}, x, method=field.density)
+    np.testing.assert_allclose(np.asarray(sigma), np.asarray(d_ref["sigma"]),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(albedo), np.asarray(d_ref["albedo"]),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(normal), np.asarray(n_ref),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_analytic_normal_second_order_plane_grads_match():
+    """d loss/d planes through the normals must equal the autograd-normal
+    path (the analytic jacobian is exact, so outer AD of it is too)."""
+    field = _mk_field()
+    x = jax.random.uniform(jax.random.PRNGKey(4), (64, 3),
+                           minval=-0.8, maxval=0.8)
+    params = field.init(jax.random.PRNGKey(5), x, method=field.density)["params"]
+
+    def loss_new(p):
+        s, a, n = field.apply({"params": p}, x,
+                              method=field.common_with_normal)
+        return jnp.sum(s) + jnp.sum(n * n) + jnp.sum(a)
+
+    def loss_old(p):
+        def f(pp):
+            s, a = field.apply({"params": pp}, x, method=field.common)
+            return jnp.sum(s), (s, a)
+        def n_of(pp):
+            def sig_sum(pts):
+                s, _ = field.apply({"params": pp}, pts, method=field.common)
+                return jnp.sum(s)
+            g = -jax.grad(sig_sum)(x)
+            from dreamfusion_tpu.core.math import safe_normalize
+            return jnp.nan_to_num(safe_normalize(g))
+        s, a = field.apply({"params": p}, x, method=field.common)
+        n = n_of(p)
+        return jnp.sum(s) + jnp.sum(n * n) + jnp.sum(a)
+
+    g_new = jax.grad(loss_new)(params)
+    g_old = jax.grad(loss_old)(params)
+    flat_new = jax.tree_util.tree_leaves(g_new)
+    flat_old = jax.tree_util.tree_leaves(g_old)
+    for a, b in zip(flat_new, flat_old):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-3)
+
+
+def test_lambertian_grad_compiles_to_one_scatter_per_scale():
+    """HLO regression: the training backward through lambertian shading must
+    emit exactly one plane scatter per scale (it was 4 before the analytic
+    jacobian — see scripts/profile_step_scan.py T5 vs T6)."""
+    field = _mk_field(scales=1)
+    from dreamfusion_tpu.models.nerf import SHADING_IDS
+    x = jax.random.uniform(jax.random.PRNGKey(6), (256, 3),
+                           minval=-0.9, maxval=0.9)
+    d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), x.shape)
+    params = field.init(jax.random.PRNGKey(7), x, method=field.density)["params"]
+
+    def loss(p):
+        s, c, n = field.apply({"params": p}, x, d, d, 0.5,
+                              SHADING_IDS["lambertian"])
+        return jnp.sum(s) + jnp.sum(c)
+
+    txt = jax.jit(jax.grad(loss)).lower(params).as_text()
+    n_scatter = txt.count('= "stablehlo.scatter"')
+    assert n_scatter == 1, f"expected 1 plane scatter, got {n_scatter}"

@@ -237,8 +237,11 @@ class NeRFField(nn.Module):
         (dh0_dfeat,) = head_vjp(ct)                          # [N, D]
         _, act_vjp = jax.vjp(self._density_act, sigma_pre)
         (dsig,) = act_vjp(jnp.ones_like(sigma_pre))          # [N]
-        g = jnp.einsum("nd,ndk->nk", dh0_dfeat.astype(jnp.float32),
-                       jac.astype(jnp.float32))
+        # NOT an einsum: a [N·48]x[N·48·3] batched matvec (batch ~4e5, dims
+        # 48x3) hangs/SIGILLs this libtpu's compiler — broadcast-multiply +
+        # reduce lowers cleanly on the VPU instead
+        g = jnp.sum(dh0_dfeat.astype(jnp.float32)[..., None] *
+                    jac.astype(jnp.float32), axis=1)
         g = g * dsig[:, None] / (2 * self.bound)
         normal = jnp.nan_to_num(safe_normalize(-g))
         return sigma, albedo, normal

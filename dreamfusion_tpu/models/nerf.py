@@ -218,7 +218,7 @@ class NeRFField(nn.Module):
         """
         assert self.backbone == "triplane"
         u = (x + self.bound) / (2 * self.bound)
-        feat, jac = triplane_encode_with_xgrad(
+        feat, (jx, jy, jz) = triplane_encode_with_xgrad(
             u, self.triplanes, self.triplane_spec, max_level=max_level,
             out_dtype=self.compute_dtype)
 
@@ -237,11 +237,11 @@ class NeRFField(nn.Module):
         (dh0_dfeat,) = head_vjp(ct)                          # [N, D]
         _, act_vjp = jax.vjp(self._density_act, sigma_pre)
         (dsig,) = act_vjp(jnp.ones_like(sigma_pre))          # [N]
-        # NOT an einsum: a [N·48]x[N·48·3] batched matvec (batch ~4e5, dims
-        # 48x3) hangs/SIGILLs this libtpu's compiler — broadcast-multiply +
-        # reduce lowers cleanly on the VPU instead
-        g = jnp.sum(dh0_dfeat.astype(jnp.float32)[..., None] *
-                    jac.astype(jnp.float32), axis=1)
+        # per-axis [N,D]·[N,D]→[N] reductions; no [N,D,3] tensor and no
+        # batched matvec — both crashed this libtpu's compiler (SIGILL)
+        dh = dh0_dfeat.astype(jnp.float32)
+        g = jnp.stack([jnp.sum(dh * j.astype(jnp.float32), axis=-1)
+                       for j in (jx, jy, jz)], axis=-1)      # [N, 3]
         g = g * dsig[:, None] / (2 * self.bound)
         normal = jnp.nan_to_num(safe_normalize(-g))
         return sigma, albedo, normal

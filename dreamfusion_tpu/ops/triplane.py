@@ -181,9 +181,15 @@ def triplane_encode_with_xgrad(
     spec: TriplaneSpec,
     max_level: Optional[jax.Array] = None,
     out_dtype=None,
-) -> Tuple[jax.Array, jax.Array]:
-    """`triplane_encode` plus the exact jacobian ∂feat/∂x ([N, D, 3], in
-    [0,1]-coordinate units), from one gather per (sample, plane, scale)."""
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array, jax.Array]]:
+    """`triplane_encode` plus the exact jacobian ∂feat/∂x, from one gather
+    per (sample, plane, scale).
+
+    Returns (feat [N, D], (jx, jy, jz)) with each j* of shape [N, D] — the
+    per-xyz-axis derivative in [0,1]-coordinate units.  The jacobian is
+    deliberately NOT packed into one [N, D, 3] array: a minor dimension of
+    3 pads to the 128-lane tile on TPU (42× memory blowup at any fusion
+    boundary) and such layouts crashed this libtpu's compiler outright."""
     xf = jnp.clip(x.astype(jnp.float32), 0.0, 1.0)
     oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1, keepdims=True)
 
@@ -191,7 +197,7 @@ def triplane_encode_with_xgrad(
     n_active = (jnp.clip(jnp.ceil(max_level * S), 1, S)
                 if max_level is not None else None)
 
-    feats, jacs = [], []
+    feats, jxs, jys, jzs = [], [], [], []
     N = x.shape[0]
     for s, r in enumerate(spec.resolutions):
         uv = jnp.stack([xf[:, (a, b)] for a, b in _PLANE_AXES], axis=1)
@@ -203,27 +209,30 @@ def triplane_encode_with_xgrad(
         jx = jnp.stack([dfu[:, 0], dfu[:, 1], z0], axis=1)   # ∂/∂x per plane
         jy = jnp.stack([dfv[:, 0], z0, dfu[:, 2]], axis=1)   # ∂/∂y
         jz = jnp.stack([z0, dfv[:, 1], dfv[:, 2]], axis=1)   # ∂/∂z
-        jac = jnp.stack([jx, jy, jz], axis=-1)               # [N,plane,C,xyz]
         if spec.reduce == "sum":
             feat = jnp.sum(feat, axis=1)                    # [N, C]
-            jac = jnp.sum(jac, axis=1)                      # [N, C, 3]
+            jx, jy, jz = (jnp.sum(j, axis=1) for j in (jx, jy, jz))
         else:
             feat = feat.reshape(N, 3 * C)
-            jac = jac.reshape(N, 3 * C, 3)
+            jx, jy, jz = (j.reshape(N, 3 * C) for j in (jx, jy, jz))
         if n_active is not None:
             m = ((S - 1 - s) < n_active).astype(feat.dtype)
             feat = feat * m
-            jac = jac * m
+            jx, jy, jz = (j * m for j in (jx, jy, jz))
         feats.append(feat)
-        jacs.append(jac)
+        jxs.append(jx)
+        jys.append(jy)
+        jzs.append(jz)
     feat = jnp.concatenate(feats, axis=-1)
-    jac = jnp.concatenate(jacs, axis=-2)
+    jx = jnp.concatenate(jxs, axis=-1)
+    jy = jnp.concatenate(jys, axis=-1)
+    jz = jnp.concatenate(jzs, axis=-1)
     feat = jnp.where(oob, 0.0, feat)
-    jac = jnp.where(oob[..., None], 0.0, jac)
+    jx, jy, jz = (jnp.where(oob, 0.0, j) for j in (jx, jy, jz))
     if out_dtype is not None:
         feat = feat.astype(out_dtype)
-        jac = jac.astype(out_dtype)
-    return feat, jac
+        jx, jy, jz = (j.astype(out_dtype) for j in (jx, jy, jz))
+    return feat, (jx, jy, jz)
 
 
 def triplane_tv_loss(planes: List[jax.Array]) -> jax.Array:

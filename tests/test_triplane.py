@@ -127,7 +127,8 @@ def test_xgrad_matches_autograd_jacobian():
     planes = init_triplane(jax.random.PRNGKey(0), spec)
     x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3),
                            minval=0.02, maxval=0.98)
-    feat, jac = triplane_encode_with_xgrad(x, planes, spec)
+    feat, (jx, jy, jz) = triplane_encode_with_xgrad(x, planes, spec)
+    jac = jnp.stack([jx, jy, jz], axis=-1)
     ref_feat = triplane_encode(x, planes, spec)
     np.testing.assert_allclose(np.asarray(feat), np.asarray(ref_feat),
                                atol=1e-6, rtol=1e-6)

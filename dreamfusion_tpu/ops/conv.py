@@ -27,6 +27,11 @@ from flax import linen as nn
 
 Padding = Union[str, int, Sequence[Tuple[int, int]]]
 
+# spatial size above which k×k convs dispatch to XLA's conv emitter
+# instead of shifted einsums (measured crossover, scripts/profile_conv2.py:
+# ≥256² the emitter wins, ≤128² the einsums win on this backend)
+_LAX_CONV_MIN_PIXELS = 256 * 256
+
 
 def _norm_padding(padding: Padding, kh: int, kw: int,
                   H: int, W: int, sh: int, sw: int
@@ -73,6 +78,16 @@ def mm_conv(x: jax.Array, kernel: jax.Array,
         wr = kernel.reshape(kh * kw * C, O)
         return jnp.einsum("bhwc,co->bhwo", xr, wr,
                           preferred_element_type=jnp.float32)
+
+    if H * W >= _LAX_CONV_MIN_PIXELS:
+        # Large spatial maps: the 9-einsum accumulation materializes k²
+        # f32 partial outputs (HBM-bound: 3.3 ms vs 0.9 ms at 512²×128,
+        # scripts/profile_conv2.py); XLA's conv emitter wins there.  Below
+        # the threshold the einsum path is faster (64²×320: 0.13 vs
+        # 0.15 ms; 128²×512 fwd+bwd: 1.53 vs 1.85 ms).
+        return jax.lax.conv_general_dilated(
+            x, kernel, (sh, sw), ((pt, pb), (pl, pr)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
     Ho = (H + pt + pb - kh) // sh + 1

@@ -96,3 +96,30 @@ def test_mm_conv_same_with_stride_matches_lax(k, s, H):
     assert ours.shape == ref.shape
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_large_spatial_dispatch_matches_reference():
+    """≥256² spatial maps dispatch to XLA's conv emitter
+    (ops/conv._LAX_CONV_MIN_PIXELS) — must stay numerically equivalent."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dreamfusion_tpu.ops.conv import mm_conv, _LAX_CONV_MIN_PIXELS
+    key = jax.random.PRNGKey(0)
+    H = W = 256
+    assert H * W >= _LAX_CONV_MIN_PIXELS
+    x = jax.random.normal(key, (1, H, W, 4))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 4, 6))
+    out = mm_conv(x, k, (1, 1), 1)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    # stride-2 (VAE downsample shape) through the same dispatch
+    out2 = mm_conv(x, k, (2, 2), 1)
+    ref2 = jax.lax.conv_general_dilated(
+        x, k, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=1e-5, rtol=1e-5)

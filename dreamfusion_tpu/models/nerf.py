@@ -225,23 +225,24 @@ class NeRFField(nn.Module):
         def head(f):
             return self.sigma_net(f).astype(jnp.float32)
 
-        h, head_vjp = jax.vjp(head, feat)
+        # Directional σ-derivatives by FORWARD-mode jvp along the three
+        # jacobian directions: tangents forward-propagate through the
+        # Dense/ReLU stack (large-K dots only). The reverse-mode form —
+        # jax.vjp(head)(e₀) in the forward pass — reproducibly SIGILLed
+        # this libtpu's compiler at training sizes (scripts/probe_sigill.py
+        # P1d/P1e vs P1g), so do NOT "simplify" this back to a vjp.
+        # The density blob stays out (stop-gradient'd, as _autograd_normal).
+        tangents = []
+        for j in (jx, jy, jz):
+            h, t = jax.jvp(head, (feat,), (j.astype(feat.dtype),))
+            tangents.append(t[..., 0])                       # [N]
         sigma_pre = h[..., 0] + self.density_blob(x)
         sigma = self._density_act(sigma_pre)
         albedo = jax.nn.sigmoid(h[..., 1:])
-        # ∂h0/∂feat via an MLP-only VJP (the density blob is stop-gradient'd,
-        # matching _autograd_normal); trunc_exp's clamped custom gradient is
-        # honored by taking the activation derivative through its vjp too.
-        ct = jnp.concatenate([jnp.ones_like(h[..., :1]),
-                              jnp.zeros_like(h[..., 1:])], axis=-1)
-        (dh0_dfeat,) = head_vjp(ct)                          # [N, D]
+        # trunc_exp's clamped custom gradient honored via the activation vjp
         _, act_vjp = jax.vjp(self._density_act, sigma_pre)
         (dsig,) = act_vjp(jnp.ones_like(sigma_pre))          # [N]
-        # per-axis [N,D]·[N,D]→[N] reductions; no [N,D,3] tensor and no
-        # batched matvec — both crashed this libtpu's compiler (SIGILL)
-        dh = dh0_dfeat.astype(jnp.float32)
-        g = jnp.stack([jnp.sum(dh * j.astype(jnp.float32), axis=-1)
-                       for j in (jx, jy, jz)], axis=-1)      # [N, 3]
+        g = jnp.stack(tangents, axis=-1)                     # [N, 3]
         g = g * dsig[:, None] / (2 * self.bound)
         normal = jnp.nan_to_num(safe_normalize(-g))
         return sigma, albedo, normal

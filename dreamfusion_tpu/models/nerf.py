@@ -118,8 +118,11 @@ class NeRFField(nn.Module):
     triplane_resolution: int = 256
     triplane_channels: int = 16
     triplane_scales: int = 2
-    # normals: 'autograd' (jax.grad of σ — one extra VJP) or
-    # 'finite_difference' (6 probe evals; reference network_grid.py:81-96).
+    # normals: 'autograd' (jax.grad of σ — one extra VJP),
+    # 'finite_difference' (6 probe evals; reference network_grid.py:81-96),
+    # or 'analytic' (triplane only: closed-form encoder jacobian +
+    # forward-mode MLP jvp — single backward plane scatter, but measured
+    # slower overall than autograd on this chip, see common_with_normal).
     # autograd is the TPU-native default: the hash/triplane gathers are
     # row-latency-bound, so 6 extra probe passes cost far more than one VJP.
     normal_mode: str = "autograd"
@@ -254,7 +257,7 @@ class NeRFField(nn.Module):
         if self.normal_mode == "finite_difference" and \
                 self.backbone != "vanilla":
             n = self._finite_difference_normal(x, max_level, eps)
-        elif self.backbone == "triplane":
+        elif self.backbone == "triplane" and self.normal_mode == "analytic":
             _, _, n = self.common_with_normal(x, max_level)
             return n
         else:
@@ -305,8 +308,13 @@ class NeRFField(nn.Module):
                 self.backbone != "vanilla":
             sigma, albedo = self.common(x, max_level)
             normal = self.normal(x, max_level)
-        elif self.backbone == "triplane":
-            # analytic encoder jacobian → one gather, one backward scatter
+        elif self.backbone == "triplane" and self.normal_mode == "analytic":
+            # analytic encoder jacobian + forward-mode jvp: ONE backward
+            # plane scatter instead of four, but measured SLOWER overall
+            # (97 vs 80 ms no-guidance step — the dense jacobian
+            # materialization outweighs the saved scatters), so autograd
+            # stays the default. Kept as an option + for the
+            # jacobian-consistency tests.
             sigma, albedo, normal = self.common_with_normal(x, max_level)
         else:
             # one fused pass: value_and_grad shares the encoder+MLP forward

@@ -115,10 +115,13 @@ def test_train_loop_smoke_triplane(tmp_path):
 
 def _mk_field(compute_dtype=jnp.float32, scales=2):
     from dreamfusion_tpu.models.nerf import NeRFField
+    # normal_mode='analytic' routes shading through common_with_normal
+    # (the single-scatter path under test)
     return NeRFField(backbone="triplane", bound=1.0, hidden_dim=16,
                      num_layers=2, bg_radius=-1.0,
                      triplane_resolution=32, triplane_channels=4,
-                     triplane_scales=scales, compute_dtype=compute_dtype)
+                     triplane_scales=scales, normal_mode="analytic",
+                     compute_dtype=compute_dtype)
 
 
 def test_xgrad_matches_autograd_jacobian():

@@ -19,9 +19,10 @@ Measured on this chip (64² renders, full SD 2.1 guidance):
   0.82 s/step triplane backbone  → 1.21 it/s
   0.18 s/step quad-packed gathers → 5.58 it/s
   0.16 s/step chunked-softmax attention → 6.20 it/s
-Scan-chained per-iter budget (scripts/profile_step_scan.py, post-attention):
-full step 145 ms = render-side 80 (57 albedo + ~25 normals 2nd-order) +
-guidance ~65; optimizer/EMA and orient/entropy regs are ~free.
+  0.14 s/step size-dispatched convs → 7.13 it/s
+Scan-chained per-iter budget (scripts/profile_step_scan.py):
+full step ~131 ms = render-side 80 (57 albedo + ~23 autograd normals) +
+guidance ~51; optimizer/EMA and orient/entropy regs are ~free.
 `--backbone grid` benches the Instant-NGP-parity path.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.

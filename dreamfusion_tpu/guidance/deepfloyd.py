@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..models.unet import UNet2DCondition, UNetConfig
 from .perpneg import weighted_perpendicular_aggregator
 from .schedule import NoiseSchedule, make_schedule
+from ..ops.resize import resize_bilinear
 
 
 @dataclass(frozen=True)
@@ -104,8 +105,8 @@ class IFGuidance:
         del as_latent
         s = self._size
         B = pred_rgb.shape[0]
-        images = jax.image.resize(pred_rgb[..., :3], (B, s, s, 3),
-                                  "bilinear") * 2.0 - 1.0
+        images = resize_bilinear(pred_rgb[..., :3],
+                                 (s, s)) * 2.0 - 1.0
         k_t, k_noise = jax.random.split(key)
         t = jax.random.randint(k_t, (B,), self.cfg.min_step,
                                self.cfg.max_step + 1)
@@ -130,8 +131,8 @@ class IFGuidance:
         s = self._size
         B = pred_rgb.shape[0]
         K = text_z.shape[0] // B
-        images = jax.image.resize(pred_rgb[..., :3], (B, s, s, 3),
-                                  "bilinear") * 2.0 - 1.0
+        images = resize_bilinear(pred_rgb[..., :3],
+                                 (s, s)) * 2.0 - 1.0
         k_t, k_noise = jax.random.split(key)
         t = jax.random.randint(k_t, (B,), self.cfg.min_step,
                                self.cfg.max_step + 1)

@@ -25,6 +25,7 @@ from ..models.unet import UNet2DCondition, UNetConfig
 from ..models.vae import AutoencoderKL, VAEConfig
 from .perpneg import weighted_perpendicular_aggregator
 from .schedule import NoiseSchedule, make_schedule
+from ..ops.resize import resize_bilinear
 
 
 @dataclass(frozen=True)
@@ -146,12 +147,12 @@ class StableDiffusionGuidance:
         B = pred_rgb.shape[0]
         if as_latent:
             # pred_rgb is [B, h, w, 4] (rgb + alpha); straight to latent space
-            lat = jax.image.resize(
-                pred_rgb, (B, self.cfg.latent_size, self.cfg.latent_size, 4),
-                method="bilinear") * 2.0 - 1.0
+            lat = resize_bilinear(
+                pred_rgb, (self.cfg.latent_size,
+                           self.cfg.latent_size)) * 2.0 - 1.0
             return lat
         size = self.cfg.image_size
-        rgb = jax.image.resize(pred_rgb, (B, size, size, 3), method="bilinear")
+        rgb = resize_bilinear(pred_rgb, (size, size))
         return self.encode_imgs(params, key, rgb)
 
     def _sample_t(self, key, B):

@@ -26,6 +26,7 @@ from ..models.clip import CLIPVisionConfig, CLIPVisionEncoder, clip_preprocess
 from ..models.unet import UNet2DCondition, UNetConfig
 from ..models.vae import AutoencoderKL, VAEConfig
 from .schedule import NoiseSchedule, make_schedule
+from ..ops.resize import resize_bilinear
 
 
 @dataclass(frozen=True)
@@ -170,7 +171,7 @@ class Zero123Guidance:
             x = x[None]
         size = self.cfg.image_size if not self.cfg.tiny else \
             8 * self.vae.cfg.downscale
-        x = jax.image.resize(x, (x.shape[0], size, size, 3), "bilinear")
+        x = resize_bilinear(x, (size, size))
         c_crossattn, c_concat = self.get_img_embeds(params, x)
         return {
             "c_crossattn": c_crossattn, "c_concat": c_concat,
@@ -215,10 +216,9 @@ class Zero123Guidance:
             grad_scale = jnp.ones((B,))
 
         if as_latent:
-            latents = jax.image.resize(pred_rgb, (B, ls, ls, 4),
-                                       "bilinear") * 2.0 - 1.0
+            latents = resize_bilinear(pred_rgb, (ls, ls)) * 2.0 - 1.0
         else:
-            rgb = jax.image.resize(pred_rgb, (B, ims, ims, 3), "bilinear")
+            rgb = resize_bilinear(pred_rgb, (ims, ims))
             latents = self.encode_imgs(params, k_enc, rgb)
 
         t = jax.random.randint(k_t, (B,), cfg.min_step, cfg.max_step + 1)

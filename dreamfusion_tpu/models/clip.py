@@ -175,5 +175,6 @@ def clip_preprocess(images: jax.Array, size: int = 224) -> jax.Array:
     """[B, H, W, 3] in [0, 1] → resized + CLIP-normalized (bilinear, matching
     kornia resize in ldm encoders/modules.py:365-371)."""
     B = images.shape[0]
-    x = jax.image.resize(images, (B, size, size, 3), method="bilinear")
+    from ..ops.resize import resize_bilinear
+    x = resize_bilinear(images, (size, size))
     return (x - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD

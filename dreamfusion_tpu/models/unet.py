@@ -261,7 +261,12 @@ class UNet2DCondition(nn.Module):
                         name=f"up_{lvl}_attn_{blk}")(h, context)
             if lvl != 0:
                 B, H, W, C = h.shape
-                h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
+                # exact 2x nearest upsample as broadcast+reshape —
+                # jax.image.resize can lower to per-row gathers on this
+                # backend (rows are the cost, CLAUDE.md gotcha 3)
+                h = jnp.broadcast_to(h[:, :, None, :, None, :],
+                                     (B, H, 2, W, 2, C))
+                h = h.reshape(B, H * 2, W * 2, C)
                 h = MMConv(ch, (3, 3), padding=1, dtype=dt,
                             name=f"up_{lvl}_upsample")(h)
 

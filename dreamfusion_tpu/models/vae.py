@@ -129,7 +129,10 @@ class Decoder(nn.Module):
                 h = VAEResnet(ch, dtype=dt, name=f"up_{lvl}_res_{b}")(h)
             if lvl != 0:
                 B, H, W, C = h.shape
-                h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
+                # gather-free 2x nearest upsample (see unet.py note)
+                h = jnp.broadcast_to(h[:, :, None, :, None, :],
+                                     (B, H, 2, W, 2, C))
+                h = h.reshape(B, H * 2, W * 2, C)
                 h = MMConv(ch, (3, 3), padding=1, dtype=dt,
                             name=f"up_{lvl}_upsample")(h)
         h = nn.silu(GroupNorm32(dtype=dt)(h))

@@ -31,7 +31,9 @@ def _interp_matrix(n_out: int, n_in: int):
     d = (np.arange(n_in)[None, :] - src[:, None]) / kw     # [n_out, n_in]
     m = np.clip(1.0 - np.abs(d), 0.0, None).astype(np.float32)
     m /= m.sum(axis=1, keepdims=True)
-    return jnp.asarray(m)
+    # return NUMPY (not jnp): a jnp array created during a jit trace would
+    # be cached as that trace's tracer and leak into later traces
+    return m
 
 
 def resize_bilinear(x: jax.Array, out_hw) -> jax.Array:
@@ -40,8 +42,8 @@ def resize_bilinear(x: jax.Array, out_hw) -> jax.Array:
     oh, ow = out_hw
     if (oh, ow) == (H, W):
         return x
-    ah = _interp_matrix(oh, H)
-    aw = _interp_matrix(ow, W)
+    ah = jnp.asarray(_interp_matrix(oh, H))
+    aw = jnp.asarray(_interp_matrix(ow, W))
     y = jnp.einsum("oh,bhwc->bowc", ah, x.astype(jnp.float32))
     y = jnp.einsum("pw,bowc->bopc", aw, y)
     return y.astype(x.dtype)

@@ -142,10 +142,8 @@ def main():
     args = ap.parse_args()
 
     if args.smoke:
-        import os
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+        from dreamfusion_tpu.utils.platform import force_cpu
+        force_cpu()
 
     it_s = run_bench(smoke=args.smoke, steps=args.steps, render_hw=args.hw,
                      backbone=args.backbone, fine_steps=args.fine,

@@ -196,8 +196,8 @@ def _main(argv=None):
     ap.add_argument("--out", default="if_sample.png")
     args = ap.parse_args(argv)
 
-    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    from ..utils.platform import honor_cpu_env
+    honor_cpu_env()
 
     from ..utils.image import save_image
 

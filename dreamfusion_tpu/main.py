@@ -177,12 +177,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 
+    from .utils.platform import honor_cpu_env
+    honor_cpu_env()
     import jax
-
-    # honor JAX_PLATFORMS=cpu even when a TPU PJRT plugin force-registered
-    # itself at interpreter start (the env var alone loses that fight)
-    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
-        jax.config.update("jax_platforms", "cpu")
 
     from .training.trainer import Trainer
 

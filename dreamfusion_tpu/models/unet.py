@@ -13,8 +13,9 @@ uses (SURVEY.md §2.3 P3-P5):
                            guidance/deepfloyd.py for the channel split)
 
 TPU-first choices: NHWC layout (XLA TPU's native conv layout), bf16
-activations / fp32 params, `jax.nn.dot_product_attention` for fused
-attention, GroupNorm in fp32 for stability.
+activations / fp32 params, `ops/attention.attention` (chunked
+online-softmax vs dense dispatch, measured crossover) for attention,
+GroupNorm in fp32 for stability.
 """
 
 from __future__ import annotations

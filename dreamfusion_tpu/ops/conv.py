@@ -87,7 +87,8 @@ def mm_conv(x: jax.Array, kernel: jax.Array,
         # 0.15 ms; 128²×512 fwd+bwd: 1.53 vs 1.85 ms).
         return jax.lax.conv_general_dilated(
             x, kernel, (sh, sw), ((pt, pb), (pl, pr)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
 
     xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
     Ho = (H + pt + pb - kh) // sh + 1

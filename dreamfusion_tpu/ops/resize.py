@@ -5,8 +5,7 @@ this backend, and its BACKWARD is a scatter-add — both row-latency-bound
 (CLAUDE.md gotcha 3).  Separable bilinear interpolation is exactly
 `A_h @ x @ A_w^T` with static [out, in] weight matrices: forward and
 backward are plain matmuls.  Matches jax.image.resize's half-pixel
-convention (oracle test in tests/test_attention.py... see
-tests/test_resize.py) to float tolerance.
+convention to float tolerance (oracle test in tests/test_resize.py).
 
 Used by the SDS guidance paths (64^2 render -> 512^2 VAE input, with
 gradient flowing back through the resize every step)."""

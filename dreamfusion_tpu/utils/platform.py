@@ -1,0 +1,71 @@
+"""Platform forcing shared by every CPU-capable entry point.
+
+The container environment pins a TPU PJRT plugin ("axon") that wins platform
+resolution even when ``JAX_PLATFORMS=cpu`` is in the environment — the env
+var alone loses that fight (CLAUDE.md gotcha #1); ``jax.config.update`` after
+import is also required.  Round-1's driver multi-chip dryrun failed exactly
+because one entry point hand-rolled this stanza incompletely
+(MULTICHIP_r01.json rc=1).  Every entry point (tests/conftest.py, bench.py
+--smoke, guidance CLIs, viewer, __graft_entry__.dryrun_multichip) now goes
+through this one helper.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+_COUNT_OPT = "--xla_force_host_platform_device_count"
+
+
+def force_cpu(n_devices: int | None = None) -> None:
+    """Force JAX onto the local CPU backend, optionally with ``n_devices``
+    virtual devices (the JAX-native way to test Mesh/pjit logic without a
+    TPU pod — SURVEY.md §4).
+
+    Safe to call before or after ``import jax``; if a backend was already
+    initialized on the wrong platform (or with too few virtual devices),
+    it is torn down and re-resolved.
+    """
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    if n_devices is not None:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if _COUNT_OPT in flags:
+            flags = re.sub(_COUNT_OPT + r"=\d+",
+                           f"{_COUNT_OPT}={n_devices}", flags)
+        else:
+            flags = (flags + f" {_COUNT_OPT}={n_devices}").strip()
+        os.environ["XLA_FLAGS"] = flags
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if not _backend_ok(jax, n_devices):
+        # A backend already came up (possibly the TPU plugin, or CPU with
+        # the wrong virtual-device count): drop it and re-resolve under the
+        # new env/config.
+        try:
+            jax.extend.backend.clear_backends()
+        except Exception:  # pragma: no cover - older/newer jax API surface
+            jax.clear_backends()
+    assert jax.default_backend() == "cpu", jax.default_backend()
+    if n_devices is not None:
+        assert jax.device_count() >= n_devices, (
+            f"wanted {n_devices} virtual CPU devices, got "
+            f"{jax.device_count()} (backend initialized before force_cpu?)")
+
+
+def _backend_ok(jax, n_devices) -> bool:
+    try:
+        if jax.default_backend() != "cpu":
+            return False
+        return n_devices is None or jax.device_count() >= n_devices
+    except Exception:
+        return False
+
+
+def honor_cpu_env() -> None:
+    """CLI-style forcing: only force CPU when the user asked via
+    ``JAX_PLATFORMS=cpu`` (otherwise leave the real TPU backend alone)."""
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        force_cpu()

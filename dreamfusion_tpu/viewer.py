@@ -202,9 +202,9 @@ def main(argv=None):
     ap.add_argument("--backbone", default=None)
     args = ap.parse_args(argv)
 
+    from .utils.platform import honor_cpu_env
+    honor_cpu_env()
     import jax
-    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
-        jax.config.update("jax_platforms", "cpu")
 
     from .config import Config, finalize
     from .main import build_guidance

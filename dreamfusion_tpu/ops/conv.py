@@ -85,10 +85,15 @@ def mm_conv(x: jax.Array, kernel: jax.Array,
         # scripts/profile_conv2.py); XLA's conv emitter wins there.  Below
         # the threshold the einsum path is faster (64²×320: 0.13 vs
         # 0.15 ms; 128²×512 fwd+bwd: 1.53 vs 1.85 ms).
-        return jax.lax.conv_general_dilated(
+        # f32 output to match the einsum branches' contract.  NOT via
+        # preferred_element_type: that makes the primal output f32 while the
+        # transpose (grad) conv then mixes an f32 cotangent with bf16 inputs
+        # and lax rejects the dtype mismatch.  The MXU accumulates bf16
+        # convs in f32 internally, so casting the result is equivalent.
+        out = jax.lax.conv_general_dilated(
             x, kernel, (sh, sw), ((pt, pb), (pl, pr)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out.astype(jnp.float32)
 
     xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
     Ho = (H + pt + pb - kh) // sh + 1

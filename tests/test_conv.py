@@ -123,3 +123,28 @@ def test_large_spatial_dispatch_matches_reference():
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_large_spatial_bf16_grad_and_f32_output():
+    """Regression: the ≥256² lax.conv branch must (a) return f32 for bf16
+    inputs like every einsum branch, and (b) be differentiable with bf16
+    inputs — an earlier preferred_element_type=f32 version made the
+    transpose conv mix f32 cotangents with bf16 operands and crash the
+    real-size VAE-encode backward on TPU."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dreamfusion_tpu.ops.conv import mm_conv, _LAX_CONV_MIN_PIXELS
+    key = jax.random.PRNGKey(0)
+    H = W = 256
+    assert H * W >= _LAX_CONV_MIN_PIXELS
+    x = jax.random.normal(key, (1, H, W, 4), dtype=jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 4, 6),
+                          dtype=jnp.bfloat16)
+    out = mm_conv(x, k, (1, 1), 1)
+    assert out.dtype == jnp.float32
+
+    g = jax.grad(lambda x_, k_: jnp.sum(mm_conv(x_, k_, (1, 1), 1) ** 2),
+                 argnums=(0, 1))(x, k)
+    assert all(np.isfinite(np.asarray(gi, dtype=np.float32)).all()
+               for gi in g)

@@ -1,0 +1,151 @@
+"""Self-contained quality evidence: convergence PSNR benchmark.
+
+VERDICT r1 item 10: the mechanism tests prove shapes/gradients; this one
+proves the *renderer can actually converge* — the flagship backbone is fit
+to an analytic multi-view target through the full occupancy path (probe+
+resample march, density-grid EMA updates, Adan with the encoder LR group)
+and must pass a PSNR bar.  Catches quality regressions from sampler/
+encoder/optimizer changes without needing pretrained guidance weights
+(reference has no analog; its QA was eyeballing renders, SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dreamfusion_tpu.core.poses import circle_poses
+from dreamfusion_tpu.core.rays import get_rays, intrinsics_from_fov
+from dreamfusion_tpu.models.renderer import NeRFRenderer, RenderFlags
+from dreamfusion_tpu.models.nerf import SHADING_IDS
+from dreamfusion_tpu.ops.occupancy import update_density_grid
+from dreamfusion_tpu.training.optimizer import build_optimizer
+
+H = W = 32
+RADIUS = 0.5  # target sphere radius
+
+
+def _target_views(n_views=4):
+    """Analytic ground truth: a centered sphere, albedo = 0.5+0.5*surface
+    normal (smooth, realizable by a density field), white background."""
+    radii = jnp.full((n_views,), 3.2)
+    thetas = jnp.full((n_views,), 80.0)
+    phis = jnp.arange(n_views) * (360.0 / n_views)
+    poses, _ = circle_poses(radii, thetas, phis)
+    intr = intrinsics_from_fov(jnp.asarray(40.0), H, W)
+    ro, rd = get_rays(poses, intr, H, W)
+    ro = ro.reshape(-1, 3)
+    rd = rd.reshape(-1, 3)
+
+    # ray-sphere intersection (get_rays dirs are NOT unit-norm — use the
+    # normalized direction for the analytic geometry)
+    rdn = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    b = jnp.sum(ro * rdn, axis=-1)
+    c = jnp.sum(ro * ro, axis=-1) - RADIUS ** 2
+    disc = b * b - c
+    hit = disc > 0
+    t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+    p = ro + rdn * t[:, None]
+    normal = p / RADIUS
+    color = 0.5 + 0.5 * normal
+    img = jnp.where(hit[:, None], color, 1.0)
+    return ro, rd, img, hit
+
+
+@pytest.fixture(scope="module")
+def fitted():
+    key = jax.random.PRNGKey(0)
+    ro, rd, target, hit = _target_views()
+    hitf = hit[:, None].astype(jnp.float32)
+
+    model = NeRFRenderer(
+        backbone="triplane", triplane_resolution=64, triplane_channels=8,
+        triplane_scales=2, hidden_dim=32, num_layers=2, bg_radius=-1,
+        grid_probe_steps=32, grid_fine_steps=32,
+        compute_dtype=jnp.float32,
+    )
+    G = 32
+    occ = jnp.ones((1, G, G, G), bool)
+    flags = RenderFlags(perturb=True, shading_static_albedo=True)
+    variables = model.init({"params": key, "render": key}, flags, ro, rd,
+                           occ_grid=occ, method=model.render)
+    params = variables["params"]
+    # NOTE grad_clip must be -1 (off): build_optimizer treats any value
+    # >= 0 as an element clip bound, so 0.0 zeroes every gradient.
+    optimizer = build_optimizer("adam", 1e-2, 400, "triplane", -1.0)
+    opt_state = optimizer.init(params)
+    density_grid = jnp.zeros((1, G ** 3))
+
+    bg = jnp.ones((ro.shape[0], 3))
+
+    @jax.jit
+    def step(params, opt_state, occ, key):
+        # fresh random background each step + mask supervision — the same
+        # transparency-forcing recipe as the known-view reconstruction step
+        # (reference nerf/utils.py:446-501); without it the field paints
+        # the background as opaque fog instead of going transparent.
+        k_bg, k_render = jax.random.split(key)
+        bgc = jax.random.uniform(k_bg, (3,))
+        step_bg = jnp.broadcast_to(bgc, ro.shape)
+        tgt = hitf * target + (1 - hitf) * bgc
+
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p}, flags, ro, rd, occ_grid=occ,
+                shading=SHADING_IDS["albedo"], bg_color=step_bg,
+                rngs={"render": k_render}, method=model.render)
+            loss = jnp.mean((out["image"] - tgt) ** 2)
+            return loss + 0.1 * jnp.mean(
+                (out["weights_sum"] - hitf[:, 0]) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def render_psnr(params, occ):
+        out = model.apply(
+            {"params": params}, RenderFlags(perturb=False,
+                                            shading_static_albedo=True),
+            ro, rd, occ_grid=occ, shading=SHADING_IDS["albedo"], bg_color=bg,
+            rngs={"render": jax.random.PRNGKey(0)}, method=model.render)
+        mse = jnp.mean((out["image"] - target) ** 2)
+        return -10.0 * jnp.log10(mse)
+
+    @jax.jit
+    def grid_update(params, density_grid, key):
+        def density_fn(x):
+            return model.apply({"params": params}, x,
+                               method=model.density)["sigma"]
+        return update_density_grid(key, density_grid, density_fn, 1.0,
+                                   density_thresh=0.5, grid_size=G)
+
+    psnr0 = float(render_psnr(params, occ))
+    for i in range(400):
+        # grid updates start after a warmup so geometry can first grow
+        # beyond the density-blob core (reference warms 16 steps/epoch;
+        # here the fit is from scratch, so give it 64)
+        if i >= 64 and i % 16 == 0:
+            density_grid, _mean, occ = grid_update(
+                params, density_grid, jax.random.PRNGKey(1000 + i))
+        params, opt_state, _loss = step(params, opt_state, occ,
+                                        jax.random.PRNGKey(i))
+    psnr1 = float(render_psnr(params, occ))
+    return psnr0, psnr1
+
+
+def test_convergence_psnr_threshold(fitted):
+    """The flagship path must fit a consistent 4-view target to >= 22 dB
+    (an unconverged or broken sampler plateaus near the background-only
+    ~10-14 dB)."""
+    psnr0, psnr1 = fitted
+    assert np.isfinite(psnr1)
+    assert psnr1 >= 22.0, f"converged PSNR {psnr1:.2f} dB < 22 dB bar"
+
+
+def test_convergence_improves_over_init(fitted):
+    psnr0, psnr1 = fitted
+    assert psnr1 - psnr0 >= 8.0, (
+        f"PSNR gain {psnr1 - psnr0:.2f} dB — renderer did not converge "
+        f"(init {psnr0:.2f} → {psnr1:.2f})")

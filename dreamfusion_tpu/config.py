@@ -124,6 +124,12 @@ class Config:
     # ---- camera / dataset (main.py:113-139) ----
     w: int = 64
     h: int = 64
+    # eval/test render resolution (reference main.py:114-115 defaults
+    # --H/--W 800): validation images, turntable videos and R-precision
+    # inputs render at H×W, chunked through max_ray_batch; training renders
+    # stay at h×w.
+    H: int = 800
+    W: int = 800
     dataset_size_train: int = 100
     dataset_size_valid: int = 8
     dataset_size_test: int = 100

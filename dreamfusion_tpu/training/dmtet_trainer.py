@@ -296,7 +296,7 @@ class DMTetTrainer(Trainer):
 
     def evaluate(self, state: DMTetState, n_views: Optional[int] = None):
         cfg = self.cfg
-        H, W = cfg.h, cfg.w
+        H, W = cfg.H, cfg.W   # eval res (reference --H/--W, main.py:114-115)
         n_views = n_views or min(cfg.dataset_size_valid, 4)
         from ..utils.image import save_image
         for i in range(n_views):
@@ -309,7 +309,7 @@ class DMTetTrainer(Trainer):
     def test(self, state: DMTetState, n_frames: Optional[int] = None,
              write_video: bool = True, six_views: bool = False):
         cfg = self.cfg
-        H, W = cfg.h, cfg.w
+        H, W = cfg.H, cfg.W
         from ..utils.image import colorize_depth, save_image, save_video
         frames, depths = [], []
         n = 6 if six_views else (n_frames or cfg.dataset_size_test)

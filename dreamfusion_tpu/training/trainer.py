@@ -150,7 +150,7 @@ class Trainer:
         self._train_step_main = None
         self._train_step_latent = None
         self._update_grid_fn = None
-        self._eval_fn = None
+        self._eval_fns: Dict[Tuple[int, int], Any] = {}
         # subclasses (DMTetTrainer) opt out of occupancy-grid maintenance
         self.needs_density_grid = cfg.backbone in ("grid", "triplane") and not cfg.dmtet
 
@@ -545,6 +545,14 @@ class Trainer:
 
         return eval_fn
 
+    def _get_eval_fn(self, H: int, W: int):
+        """Per-resolution cache: training-res snapshots and H×W eval/test
+        renders coexist (each resolution is its own compiled program)."""
+        fn = self._eval_fns.get((H, W))
+        if fn is None:
+            fn = self._eval_fns[(H, W)] = self._make_eval_fn(H, W)
+        return fn
+
     # ------------------------------------------------------------------
     def train(self, state: TrainState, max_steps: Optional[int] = None
               ) -> TrainState:
@@ -604,8 +612,9 @@ class Trainer:
                 self.epoch = self.global_step // cfg.dataset_size_train
                 if cfg.eval_interval > 0 and \
                         self.epoch % cfg.eval_interval == 0:
-                    self.evaluate(state)
-                    self.save_checkpoint(state, full=False)  # df best-model
+                    result = self.evaluate(state)
+                    self.save_checkpoint(state, full=False,
+                                         metric=result)  # df best-model
                 if cfg.save_guidance and "SD" in self.guidances and \
                         self.epoch > 0 and \
                         self.epoch % max(cfg.save_guidance_interval, 1) == 0:
@@ -619,11 +628,10 @@ class Trainer:
         (overridden by DMTetTrainer to go through the rasterizer)."""
         cfg = self.cfg
         H, W = cfg.h, cfg.w
-        if self._eval_fn is None:
-            self._eval_fn = self._make_eval_fn(H, W)
+        eval_fn = self._get_eval_fn(H, W)
         batch = circle_view_batch(cfg, 0, 4, H, W)
         key = jax.random.PRNGKey(self.global_step)
-        img, _, _ = self._eval_fn(
+        img, _, _ = eval_fn(
             state.ema_params, state.occ_grid,
             batch.rays_o.reshape(-1, 3), batch.rays_d.reshape(-1, 3), key)
         return np.asarray(img).reshape(H, W, 3)
@@ -659,38 +667,75 @@ class Trainer:
             gdir, f"step_{self.global_step:06d}.png"), trip)
 
     # ------------------------------------------------------------------
-    def evaluate(self, state: TrainState, n_views: Optional[int] = None):
+    def evaluate(self, state: TrainState, n_views: Optional[int] = None
+                 ) -> Optional[float]:
+        """Write validation renders at the eval resolution (cfg.H×cfg.W,
+        reference main.py:114-115 defaults 800²) and return an eval metric
+        when one is defined: known-view masked PSNR for image-conditioned
+        runs (reference PSNRMeter, utils.py:268-270). Text-only SDS has no
+        ground truth, so the metric is None (matching the reference, whose
+        metrics list is empty there and best == latest, utils.py:1236-1264).
+        """
         cfg = self.cfg
-        H, W = cfg.h, cfg.w
+        H, W = cfg.H, cfg.W
         n_views = n_views or min(cfg.dataset_size_valid, 4)
-        if self._eval_fn is None:
-            self._eval_fn = self._make_eval_fn(H, W)
+        eval_fn = self._get_eval_fn(H, W)
         key = jax.random.PRNGKey(42)
         for i in range(n_views):
             batch = circle_view_batch(cfg, i, n_views, H, W)
-            img, depth, _ = self._eval_fn(
+            img, depth, _ = eval_fn(
                 state.ema_params, state.occ_grid,
                 batch.rays_o.reshape(-1, 3), batch.rays_d.reshape(-1, 3), key)
             img = np.asarray(img).reshape(H, W, 3)
             save_image(os.path.join(
                 self.workspace, "validation",
                 f"df_ep{self.epoch:04d}_{i:04d}_rgb.png"), img)
+            save_image(os.path.join(
+                self.workspace, "validation",
+                f"df_ep{self.epoch:04d}_{i:04d}_depth.png"),
+                colorize_depth(np.asarray(depth).reshape(H, W)))
+        return self._eval_metric(state)
+
+    def _eval_metric(self, state: TrainState) -> Optional[float]:
+        """Masked PSNR against the known reference views (higher better);
+        None when no ground truth exists (pure text-to-3D)."""
+        ref = self.ref_images
+        if ref is None:
+            return None
+        from .data import default_view_batch
+        cfg = self.cfg
+        Hs, Ws = ref.rgb.shape[1:3]
+        kv = default_view_batch(cfg, ref.radii, ref.polars, ref.azimuths,
+                                Hs, Ws)
+        eval_fn = self._get_eval_fn(Hs, Ws)
+        mses = []
+        for k in range(ref.rgb.shape[0]):
+            img, _, _ = eval_fn(
+                state.ema_params, state.occ_grid,
+                kv.rays_o[k].reshape(-1, 3), kv.rays_d[k].reshape(-1, 3),
+                jax.random.PRNGKey(42))
+            pred = np.asarray(img).reshape(Hs, Ws, 3)
+            m = np.asarray(ref.mask[k], dtype=np.float32)[..., None]
+            se = ((pred - np.asarray(ref.rgb[k])) ** 2) * m
+            mses.append(se.sum() / np.maximum(m.sum() * 3, 1.0))
+        mse = float(np.mean(mses))
+        return float(-10.0 * np.log10(max(mse, 1e-10)))
 
     # ------------------------------------------------------------------
     def test(self, state: TrainState, n_frames: Optional[int] = None,
              write_video: bool = True, six_views: bool = False):
-        """Turntable render → mp4 (reference utils.py:838-887)."""
+        """Turntable render → mp4 at eval resolution (reference
+        utils.py:838-887 renders test frames at --H×--W)."""
         cfg = self.cfg
-        H, W = cfg.h, cfg.w
-        if self._eval_fn is None:
-            self._eval_fn = self._make_eval_fn(H, W)
+        H, W = cfg.H, cfg.W
+        eval_fn = self._get_eval_fn(H, W)
         key = jax.random.PRNGKey(42)
         frames, depths = [], []
         n = 6 if six_views else (n_frames or cfg.dataset_size_test)
         for i in range(n):
             batch = six_view_batch(cfg, i, H, W) if six_views else \
                 circle_view_batch(cfg, i, n, H, W)
-            img, depth, _ = self._eval_fn(
+            img, depth, _ = eval_fn(
                 state.ema_params, state.occ_grid,
                 batch.rays_o.reshape(-1, 3), batch.rays_d.reshape(-1, 3), key)
             frames.append(np.asarray(img).reshape(H, W, 3))
@@ -710,18 +755,32 @@ class Trainer:
     def _ckpt_dir(self) -> str:
         return os.path.join(self.workspace, "checkpoints")
 
-    def save_checkpoint(self, state: TrainState, full: bool = True):
+    def save_checkpoint(self, state: TrainState, full: bool = True,
+                        metric: Optional[float] = None):
         """full=True: rolling train-state checkpoint; full=False: the
         best-model equivalent of the reference's `df.pth` — EMA weights
-        only (utils.py:1236-1264)."""
+        only, kept best-by-eval-metric (utils.py:1236-1264): when a metric
+        (higher-better) is supplied, the df snapshot is only overwritten on
+        improvement; with no metric (text-only SDS, where the reference's
+        metrics list is likewise empty) every eval overwrites it."""
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
         if not full:
+            if metric is not None:
+                best = self.stats.get("best_result")
+                if best is not None and metric <= best:
+                    self.log(f"[ckpt] eval metric {metric:.3f} <= best "
+                             f"{best:.3f}, keeping previous df snapshot")
+                    return
+                self.stats["best_result"] = metric
             path = os.path.join(self._ckpt_dir(), "df")
             ckptr.save(os.path.abspath(path),
                        flax.serialization.to_state_dict(
                            {"ema_params": state.ema_params}), force=True)
             ckptr.wait_until_finished()
+            with open(path + ".meta.json", "w") as f:
+                json.dump({"global_step": self.global_step,
+                           "best_result": self.stats.get("best_result")}, f)
             return
         path = os.path.join(self._ckpt_dir(), f"df_ep{self.epoch:04d}")
         payload = flax.serialization.to_state_dict(state)
@@ -747,6 +806,17 @@ class Trainer:
     def load_checkpoint(self, state_template: TrainState,
                         ckpt: str = "latest") -> Tuple[TrainState, bool]:
         import orbax.checkpoint as ocp
+        # restore best-metric bookkeeping so a resumed run doesn't overwrite
+        # a better df snapshot with a worse one
+        dfmeta = os.path.join(self._ckpt_dir(), "df.meta.json")
+        if os.path.exists(dfmeta):
+            try:
+                with open(dfmeta) as f:
+                    br = json.load(f).get("best_result")
+                if br is not None:
+                    self.stats["best_result"] = br
+            except Exception:
+                pass
         if ckpt in ("best", "latest_model"):
             # EMA-only df checkpoint (reference --ckpt best/latest_model,
             # main.py:60 / utils.py:1266-1288): model weights, no optimizer

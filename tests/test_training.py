@@ -74,7 +74,8 @@ def test_build_optimizer_encoder_multiplier(key):
 def tiny_config(tmp_path, backbone="vanilla", **kw):
     base = dict(
         text="a hamburger", workspace=str(tmp_path / "ws"),
-        backbone=backbone, w=16, h=16, iters=6, dataset_size_train=3,
+        backbone=backbone, w=16, h=16, H=24, W=24,  # tiny eval res for CPU
+        iters=6, dataset_size_train=3,
         latent_iter_ratio=0.34,      # first 2 steps in latent phase
         grid_levels=4, grid_log2_hashmap_size=8, grid_desired_resolution=64,
         grid_size=32, grid_coarse_steps=16, grid_fine_steps=16,
@@ -140,7 +141,13 @@ def test_eval_and_test_write_outputs(tmp_path, tiny_guidance):
     state = tr.init_state(jax.random.PRNGKey(0))
     tr.evaluate(state, n_views=2)
     files = os.listdir(os.path.join(tr.workspace, "validation"))
-    assert len(files) == 2
+    assert len([f for f in files if f.endswith("_rgb.png")]) == 2
+    assert len([f for f in files if f.endswith("_depth.png")]) == 2
+    # eval renders at the eval resolution (cfg.H/cfg.W), not training res
+    from PIL import Image
+    rgb = [f for f in sorted(files) if f.endswith("_rgb.png")][0]
+    assert Image.open(os.path.join(tr.workspace, "validation",
+                                   rgb)).size == (tr.cfg.W, tr.cfg.H)
     tr.test(state, n_frames=3, write_video=True)
     results = os.listdir(os.path.join(tr.workspace, "results"))
     assert len(results) >= 1
@@ -188,3 +195,38 @@ def test_save_guidance_snapshot(tmp_path, tiny_guidance):
     import imageio.v2 as imageio
     im = imageio.imread(os.path.join(gdir, files[0]))
     assert im.shape[1] == 3 * im.shape[0]   # 3 panels wide
+
+
+def test_best_checkpoint_keeps_best_by_metric(tmp_path, tiny_guidance):
+    """Reference best-mode semantics (utils.py:1236-1264): with a metric,
+    the df snapshot is only overwritten on improvement; a later WORSE eval
+    must not clobber the best weights, and the best metric survives a
+    trainer restart via df.meta.json."""
+    g, gparams, emb = tiny_guidance
+    cfg = tiny_config(tmp_path, backbone="vanilla", iters=2,
+                      latent_iter_ratio=0.0)
+    tr = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gparams},
+                 embeddings={"SD": emb})
+    state_a = tr.init_state(jax.random.PRNGKey(0))
+    state_b = tr.init_state(jax.random.PRNGKey(1))
+
+    tr.save_checkpoint(state_a, full=False, metric=20.0)   # best so far
+    tr.save_checkpoint(state_b, full=False, metric=10.0)   # worse: ignored
+
+    tr2 = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gparams},
+                  embeddings={"SD": emb})
+    template = tr2.init_state(jax.random.PRNGKey(5))
+    restored, ok = tr2.load_checkpoint(template, "best")
+    assert ok
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.ema_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state_a.ema_params)[0]))
+    assert tr2.stats["best_result"] == 20.0   # restored from df.meta.json
+
+    # an improvement DOES overwrite
+    tr2.save_checkpoint(state_b, full=False, metric=25.0)
+    restored2, ok = tr2.load_checkpoint(template, "best")
+    assert ok
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored2.ema_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state_b.ema_params)[0]))

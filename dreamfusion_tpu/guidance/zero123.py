@@ -281,6 +281,48 @@ class Zero123Guidance:
         return 0.5 * jnp.sum((latents.astype(jnp.float32) - targets) ** 2) / B
 
     # ------------------------------------------------------------------
+    def guidance_eval(self, params, key, embeddings, pred_rgb,
+                      polar, azimuth, radius, guidance_scale: float = 5.0):
+        """Debug snapshot for --save_guidance (the reference's
+        save_guidance path covers zero123 as well, nerf/utils.py:1028-1048):
+        (noisy render, one-step denoised x0) decoded to rgb, conditioned on
+        the FIRST reference view."""
+        cfg = self.cfg
+        k_enc, k_t, k_noise = jax.random.split(key, 3)
+        B = pred_rgb.shape[0]
+        ls = cfg.latent_size if not cfg.tiny else 8
+        ims = ls * self.vae.cfg.downscale
+        rgb = resize_bilinear(pred_rgb[..., :3], (ims, ims))
+        latents = self.encode_imgs(params, k_enc, rgb)
+        t = jax.random.randint(k_t, (B,), cfg.min_step, cfg.max_step + 1)
+        noise = jax.random.normal(k_noise, latents.shape)
+        latents_noisy = self.schedule.add_noise(latents, noise, t)
+
+        cc_k = params["cc_projection"]["kernel"]
+        cc_b = params["cc_projection"]["bias"]
+        # polar/azimuth/radius are deltas wrt the default (first-ref) view,
+        # exactly the K=1 conditioning in sds_loss
+        T = self._camera_T(polar, azimuth, radius)
+        clip_emb = jnp.einsum(
+            "bld,dc->blc",
+            jnp.concatenate(
+                [jnp.tile(embeddings["c_crossattn"][0][None], (B, 1, 1)), T],
+                axis=-1), cc_k) + cc_b
+        ctx = jnp.concatenate([jnp.zeros_like(clip_emb), clip_emb])
+        cc = jnp.tile(embeddings["c_concat"][0][None], (B, 1, 1, 1))
+        concat = jnp.concatenate([jnp.zeros_like(cc), cc])
+        x_in = jnp.concatenate([latents_noisy] * 2)
+        x_in = jnp.concatenate([x_in, concat], axis=-1)
+        t_in = jnp.concatenate([t] * 2)
+        eps = self.unet.apply({"params": params["unet"]}, x_in, t_in, ctx)
+        e_u, e_c = jnp.split(eps, 2)
+        noise_pred = e_u + guidance_scale * (e_c - e_u)
+        x0 = self.schedule.predict_start_from_noise(latents_noisy, t,
+                                                    noise_pred)
+        return (self.decode_latents(params, latents_noisy),
+                self.decode_latents(params, x0))
+
+    # ------------------------------------------------------------------
     def novel_view(self, params, key, embeddings, polar, azimuth, radius,
                    num_inference_steps: int = 50, guidance_scale: float = 3.0):
         """Standalone novel-view synthesis (zero123_utils.py:234-270)."""

@@ -144,7 +144,8 @@ def build_guidance(cfg: Config, tiny: bool = False, ref_images=None):
         elif name == "IF":
             from .guidance.deepfloyd import IFConfig, IFGuidance
             g = IFGuidance(IFConfig(t_range=cfg.t_range, tiny=tiny))
-            p = g.init_params(key)
+            p = g.load_pretrained(cfg.pretrained_root) if (
+                cfg.pretrained_root and not tiny) else g.init_params(key)
             guidances[name] = g
             gparams[name] = p
             embeddings[name] = g.prepare_embeddings(p, cfg.text or "",

@@ -615,7 +615,7 @@ class Trainer:
                     result = self.evaluate(state)
                     self.save_checkpoint(state, full=False,
                                          metric=result)  # df best-model
-                if cfg.save_guidance and "SD" in self.guidances and \
+                if cfg.save_guidance and self.guidances and \
                         self.epoch > 0 and \
                         self.epoch % max(cfg.save_guidance_interval, 1) == 0:
                     self.save_guidance_snapshot(state)
@@ -637,18 +637,15 @@ class Trainer:
         return np.asarray(img).reshape(H, W, 3)
 
     def save_guidance_snapshot(self, state: TrainState):
-        """--save_guidance triptychs (reference nerf/utils.py:1028-1048 +
-        sd_utils.py:133-158): render | noised | one-step denoised."""
+        """--save_guidance triptychs — render | noised | one-step denoised —
+        for EVERY active prior with a guidance_eval (the reference's
+        save_guidance path covers SD, IF and zero123 alike,
+        nerf/utils.py:1028-1048)."""
         cfg = self.cfg
         H, W = cfg.h, cfg.w
         key = jax.random.PRNGKey(self.global_step)
         render = self._snapshot_render(state)[None]
-        g = self.guidances["SD"]
-        gp = self._guidance_params_on_device()["SD"]
-        emb = self.embeddings["SD"]
-        noisy, denoised = g.guidance_eval(
-            gp, key, emb["default"], emb["uncond"], jnp.asarray(render),
-            guidance_scale=cfg.guidance_scale)
+        gparams = self._guidance_params_on_device()
 
         def to_hw(a):
             a = np.asarray(a)[0]
@@ -659,12 +656,27 @@ class Trainer:
                 ).resize((W, H))) / 255.0
             return a
 
-        trip = np.concatenate([render[0], to_hw(noisy), to_hw(denoised)],
-                              axis=1)
         gdir = os.path.join(self.workspace, "guidance")
         os.makedirs(gdir, exist_ok=True)
-        save_image(os.path.join(
-            gdir, f"step_{self.global_step:06d}.png"), trip)
+        for name, g in self.guidances.items():
+            if not hasattr(g, "guidance_eval"):
+                continue
+            gp = gparams[name]
+            emb = self.embeddings[name]
+            if name == "zero123":
+                # snapshot renders the default view → zero pose deltas
+                zeros = jnp.zeros((1,))
+                noisy, denoised = g.guidance_eval(
+                    gp, key, emb, jnp.asarray(render), zeros, zeros, zeros,
+                    guidance_scale=cfg.guidance_scale)
+            else:
+                noisy, denoised = g.guidance_eval(
+                    gp, key, emb["default"], emb["uncond"],
+                    jnp.asarray(render), guidance_scale=cfg.guidance_scale)
+            trip = np.concatenate(
+                [render[0], to_hw(noisy), to_hw(denoised)], axis=1)
+            save_image(os.path.join(
+                gdir, f"step_{self.global_step:06d}_{name}.png"), trip)
 
     # ------------------------------------------------------------------
     def evaluate(self, state: TrainState, n_views: Optional[int] = None

@@ -307,6 +307,137 @@ def unet_mapper_ldm(cfg, prefix: str = "model.diffusion_model."
 
 
 # ---------------------------------------------------------------------------
+# DeepFloyd-IF UNet key mapping (diffusers layout — the only published one)
+# ---------------------------------------------------------------------------
+
+_IF_RES_SUB = {
+    "norm1/gn/scale": "norm1.weight", "norm1/gn/bias": "norm1.bias",
+    "conv1/kernel": "conv1.weight", "conv1/bias": "conv1.bias",
+    "time_emb_proj/kernel": "time_emb_proj.weight",
+    "time_emb_proj/bias": "time_emb_proj.bias",
+    "norm2/gn/scale": "norm2.weight", "norm2/gn/bias": "norm2.bias",
+    "conv2/kernel": "conv2.weight", "conv2/bias": "conv2.bias",
+    "conv_shortcut/kernel": "conv_shortcut.weight",
+    "conv_shortcut/bias": "conv_shortcut.bias",
+}
+
+_IF_ATTN_SUB = {
+    "group_norm/gn/scale": "group_norm.weight",
+    "group_norm/gn/bias": "group_norm.bias",
+    "norm_cross/gn/scale": "norm_cross.weight",
+    "norm_cross/gn/bias": "norm_cross.bias",
+    "to_q/kernel": "to_q.weight", "to_q/bias": "to_q.bias",
+    "to_k/kernel": "to_k.weight", "to_k/bias": "to_k.bias",
+    "to_v/kernel": "to_v.weight", "to_v/bias": "to_v.bias",
+    "add_k_proj/kernel": "add_k_proj.weight",
+    "add_k_proj/bias": "add_k_proj.bias",
+    "add_v_proj/kernel": "add_v_proj.weight",
+    "add_v_proj/bias": "add_v_proj.bias",
+    "to_out/kernel": "to_out.0.weight", "to_out/bias": "to_out.0.bias",
+}
+
+
+def if_unet_mapper(cfg) -> Callable[[str], Optional[str]]:
+    """models/if_unet.IFUNet → diffusers UNet2DConditionModel (IF variant)
+    key layout (SimpleCrossAttn blocks, resnet down/upsamplers,
+    TextTimeEmbedding, encoder_hid_proj)."""
+    L = len(cfg.block_out_channels)
+
+    def mapper(path: str) -> Optional[str]:
+        p = path
+        wb = "weight" if p.endswith(("kernel", "scale")) else "bias"
+        if p.startswith("time_dense_0/"):
+            return f"time_embedding.linear_1.{wb}"
+        if p.startswith("time_dense_1/"):
+            return f"time_embedding.linear_2.{wb}"
+        if p.startswith("encoder_hid_proj/"):
+            return f"encoder_hid_proj.{wb}"
+        if p.startswith("add_embedding/"):
+            rest = p[len("add_embedding/"):]
+            if rest == "pool/positional_embedding":
+                return "add_embedding.pool.positional_embedding"
+            m = re.match(r"pool/(q_proj|k_proj|v_proj)/", rest)
+            if m:
+                return f"add_embedding.pool.{m.group(1)}.{wb}"
+            for name in ("norm1", "norm2", "proj"):
+                if rest.startswith(name + "/"):
+                    return f"add_embedding.{name}.{wb}"
+            return None
+        if p.startswith("conv_in/"):
+            return f"conv_in.{wb}"
+        if p.startswith("conv_out/"):
+            return f"conv_out.{wb}"
+        if p.startswith("norm_out/"):
+            return f"conv_norm_out.{wb}"
+        m = re.match(r"(down|up)_(\d+)_res_(\d+)/(.*)", p)
+        if m:
+            d, lvl, blk, rest = m.group(1), int(m.group(2)), \
+                int(m.group(3)), m.group(4)
+            i = lvl if d == "down" else L - 1 - lvl
+            return f"{d}_blocks.{i}.resnets.{blk}." + _IF_RES_SUB[rest]
+        m = re.match(r"(down|up)_(\d+)_attn_(\d+)/(.*)", p)
+        if m:
+            d, lvl, blk, rest = m.group(1), int(m.group(2)), \
+                int(m.group(3)), m.group(4)
+            i = lvl if d == "down" else L - 1 - lvl
+            return f"{d}_blocks.{i}.attentions.{blk}." + _IF_ATTN_SUB[rest]
+        m = re.match(r"down_(\d+)_down/(.*)", p)
+        if m:
+            return f"down_blocks.{m.group(1)}.downsamplers.0." + \
+                _IF_RES_SUB[m.group(2)]
+        m = re.match(r"up_(\d+)_up/(.*)", p)
+        if m:
+            i = L - 1 - int(m.group(1))
+            return f"up_blocks.{i}.upsamplers.0." + _IF_RES_SUB[m.group(2)]
+        m = re.match(r"mid_res_(\d)/(.*)", p)
+        if m:
+            return f"mid_block.resnets.{m.group(1)}." + \
+                _IF_RES_SUB[m.group(2)]
+        m = re.match(r"mid_attn/(.*)", p)
+        if m:
+            return "mid_block.attentions.0." + _IF_ATTN_SUB[m.group(1)]
+        return None
+
+    return mapper
+
+
+# ---------------------------------------------------------------------------
+# T5 encoder key mapping (transformers T5EncoderModel)
+# ---------------------------------------------------------------------------
+
+def t5_mapper() -> Callable[[str], Optional[str]]:
+    """models/t5.T5Encoder → transformers T5EncoderModel state-dict keys
+    (verified against the recorded t5-v1_1 key inventory fixture)."""
+
+    def mapper(path: str) -> Optional[str]:
+        p = path
+        if p == "shared/embedding":
+            return "shared.weight"
+        if p == "final_ln/weight":
+            return "encoder.final_layer_norm.weight"
+        m = re.match(r"block_(\d+)/(.*)", p)
+        if not m:
+            return None
+        i, rest = m.group(1), m.group(2)
+        pre = f"encoder.block.{i}."
+        if rest == "attn/relative_attention_bias":
+            return pre + "layer.0.SelfAttention.relative_attention_bias.weight"
+        a = re.match(r"attn/(q|k|v|o)/kernel", rest)
+        if a:
+            return pre + f"layer.0.SelfAttention.{a.group(1)}.weight"
+        if rest == "ln_attn/weight":
+            return pre + "layer.0.layer_norm.weight"
+        f = re.match(r"(wi_0|wi_1|wo)/kernel", rest)
+        if f:
+            return pre + f"layer.1.DenseReluDense.{f.group(1)}.weight"
+        if rest == "ln_ff/weight":
+            return pre + "layer.1.layer_norm.weight"
+        return None
+
+    return mapper
+
+
+# ---------------------------------------------------------------------------
 # VAE key mapping
 # ---------------------------------------------------------------------------
 
@@ -548,6 +679,26 @@ def _find_weights(d: str, names=("diffusion_pytorch_model", "model")):
     raise FileNotFoundError(f"no weights under {d}")
 
 
+def load_dir_state_dict(d: str, names=("diffusion_pytorch_model", "model")
+                        ) -> Dict[str, np.ndarray]:
+    """Load a diffusers/transformers model dir, following a shard index
+    (`*.index.json`) when present — IF-XL's UNet and T5-XXL both ship
+    sharded."""
+    import json
+    for n in names:
+        for ext in (".safetensors", ".bin"):
+            idx = os.path.join(d, n + ext + ".index.json")
+            if os.path.exists(idx):
+                with open(idx) as f:
+                    shards = sorted(set(
+                        json.load(f)["weight_map"].values()))
+                out: Dict[str, np.ndarray] = {}
+                for s in shards:
+                    out.update(load_torch_state_dict(os.path.join(d, s)))
+                return out
+    return load_torch_state_dict(_find_weights(d, names))
+
+
 def convert_sd(src: str, guidance, params: Dict[str, Any]) -> Dict[str, Any]:
     """src: diffusers model dir (unet/ vae/ text_encoder/) or a single
     CompVis .ckpt/.safetensors.  Returns a params dict for
@@ -620,9 +771,33 @@ def convert_zero123(src: str, guidance, params: Dict[str, Any]
     return out
 
 
+def convert_if(src: str, guidance, params: Dict[str, Any]
+               ) -> Dict[str, Any]:
+    """src: diffusers IF dir (unet/ text_encoder/, possibly sharded) →
+    params for IFGuidance with real weights (+ the T5 encoder under
+    't5').  Reference surface: IFPipeline.from_pretrained
+    (guidance/if_utils.py:35-48)."""
+    out = dict(params)
+    u_sd = load_dir_state_dict(os.path.join(src, "unet"))
+    out["unet"], _ = _convert(params["unet"],
+                              if_unet_mapper(guidance.unet.cfg), u_sd)
+    t5_dir = os.path.join(src, "text_encoder")
+    if os.path.isdir(t5_dir):
+        t_sd = load_dir_state_dict(t5_dir)
+        if "shared.weight" not in t_sd and \
+                "encoder.embed_tokens.weight" in t_sd:
+            t_sd["shared.weight"] = t_sd["encoder.embed_tokens.weight"]
+        import jax
+        t5_template = guidance.t5.init(
+            jax.random.PRNGKey(0),
+            jax.numpy.zeros((1, 8), jax.numpy.int32))["params"]
+        out["t5"], _ = _convert(t5_template, t5_mapper(), t_sd)
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("convert")
-    ap.add_argument("--kind", choices=["sd", "zero123", "clip"],
+    ap.add_argument("--kind", choices=["sd", "zero123", "clip", "if"],
                     required=True)
     ap.add_argument("--src", required=True)
     ap.add_argument("--out", required=True, help="output dir for npz files")
@@ -639,6 +814,16 @@ def main(argv=None):
         params = g.init_params(jax.random.PRNGKey(0))
         params = convert_sd(args.src, g, params)
         for name in ("unet", "vae", "text"):
+            save_params_npz(os.path.join(args.out, f"{name}.npz"),
+                            params[name])
+    elif args.kind == "if":
+        from ..guidance.deepfloyd import IFConfig, IFGuidance
+        cfg_json = os.path.join(args.src, "unet", "config.json")
+        g = IFGuidance(IFConfig(
+            unet_config_json=cfg_json if os.path.exists(cfg_json) else None))
+        params = g.init_params(jax.random.PRNGKey(0))
+        params = convert_if(args.src, g, params)
+        for name in params:
             save_params_npz(os.path.join(args.out, f"{name}.npz"),
                             params[name])
     elif args.kind == "zero123":

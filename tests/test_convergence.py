@@ -53,8 +53,10 @@ def _target_views(n_views=4):
     return ro, rd, img, hit
 
 
-@pytest.fixture(scope="module")
-def fitted():
+def fit(probe_steps: int = 32, fine_steps: int = 32, steps: int = 400):
+    """Fit the flagship path to the analytic target; returns
+    (init PSNR, converged PSNR).  Parameterized so sample-budget sweeps
+    (scripts/quality_fine_steps.py) reuse the exact benchmark recipe."""
     key = jax.random.PRNGKey(0)
     ro, rd, target, hit = _target_views()
     hitf = hit[:, None].astype(jnp.float32)
@@ -62,7 +64,7 @@ def fitted():
     model = NeRFRenderer(
         backbone="triplane", triplane_resolution=64, triplane_channels=8,
         triplane_scales=2, hidden_dim=32, num_layers=2, bg_radius=-1,
-        grid_probe_steps=32, grid_fine_steps=32,
+        grid_probe_steps=probe_steps, grid_fine_steps=fine_steps,
         compute_dtype=jnp.float32,
     )
     G = 32
@@ -122,7 +124,7 @@ def fitted():
                                    density_thresh=0.5, grid_size=G)
 
     psnr0 = float(render_psnr(params, occ))
-    for i in range(400):
+    for i in range(steps):
         # grid updates start after a warmup so geometry can first grow
         # beyond the density-blob core (reference warms 16 steps/epoch;
         # here the fit is from scratch, so give it 64)
@@ -133,6 +135,11 @@ def fitted():
                                         jax.random.PRNGKey(i))
     psnr1 = float(render_psnr(params, occ))
     return psnr0, psnr1
+
+
+@pytest.fixture(scope="module")
+def fitted():
+    return fit()
 
 
 def test_convergence_psnr_threshold(fitted):

@@ -116,6 +116,33 @@ def test_if_perpneg_and_sampler(if_g, key, rng):
     assert np.isfinite(np.asarray(img)).all()
 
 
+def test_if_guidance_eval(if_g, key, rng):
+    """--save_guidance debug pair for IF (reference nerf/utils.py:1028-1048
+    covers all priors)."""
+    g, params = if_g
+    emb = g.prepare_embeddings(params, "a hamburger")
+    pred = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+    noisy, denoised = g.guidance_eval(params, key, emb["default"],
+                                      emb["uncond"], pred)
+    for a in (noisy, denoised):
+        assert a.shape == (1, g._size, g._size, 3)
+        a = np.asarray(a)
+        assert np.isfinite(a).all() and a.min() >= 0 and a.max() <= 1
+
+
+def test_zero123_guidance_eval(z123, key, rng):
+    g, params = z123
+    img = rng.uniform(0, 1, (1, 24, 24, 3)).astype(np.float32)
+    emb = g.prepare_image_embeddings(params, img[0])
+    pred = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+    zeros = jnp.zeros((1,))
+    noisy, denoised = g.guidance_eval(params, key, emb, pred,
+                                      zeros, zeros, zeros)
+    for a in (noisy, denoised):
+        assert a.shape[0] == 1 and a.shape[-1] == 3
+        assert np.isfinite(np.asarray(a)).all()
+
+
 # ---------------- CLIP ----------------
 
 def test_clip_guidance_loss_and_grad(key, rng):

@@ -10,14 +10,17 @@ zero-egress, so each stage degrades gracefully:
 
   * background removal — carvekit/rembg if importable, otherwise a
     classical cv2 GrabCut matte seeded by the image border (no weights);
-  * depth — a local `--dpt_path` transformers DPT checkpoint if provided,
-    otherwise skipped;
-  * normal — the omnidata normal model if available via `--dpt_path`
-    convention, otherwise finite-difference normals from the depth map,
-    otherwise skipped.
+  * depth/normal — the VENDORED Flax DPT (models/dpt.py, the same
+    vitb_rn50_384 architecture the reference vendors in dpt.py) fed by
+    local omnidata checkpoints via `--omnidata_depth` / `--omnidata_normal`
+    (torch .ckpt/.pt, converted on the fly, or pre-converted .npz);
+  * fallbacks — a local `--dpt_path` transformers DPT checkpoint for
+    depth, then finite-difference normals from the depth map, else skipped.
 
 CLI:  python -m dreamfusion_tpu.preprocess_image image.png
-      [--size 256] [--border_ratio 0.2] [--dpt_path /path] [--recenter 1]
+      [--size 256] [--border_ratio 0.2] [--recenter 1]
+      [--omnidata_depth d.ckpt] [--omnidata_normal n.ckpt]
+      [--dpt_path /path]
 """
 
 from __future__ import annotations
@@ -88,6 +91,45 @@ class BackgroundRemoval:
 # depth / normal
 # ---------------------------------------------------------------------------
 
+def run_omnidata(rgb: np.ndarray, ckpt: str, task: str = "depth",
+                 cfg=None, hw: int = 384) -> np.ndarray:
+    """Run the vendored Flax DPT (models/dpt.py) with omnidata weights.
+
+    Mirrors the reference DPT wrapper (preprocess_image.py:95-115):
+    384² input, depth normalized (x−0.5)/0.5 / normals raw [0,1], output
+    clamped to [0,1] and resized back to the source resolution.
+    `ckpt`: omnidata torch checkpoint (converted on the fly) or a
+    pre-converted .npz from `utils/convert.py --kind dpt`."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.dpt import DPTConfig, DPTDepthModel
+    from .ops.resize import resize_bilinear
+
+    if cfg is None:
+        cfg = DPTConfig.normal() if task == "normal" else DPTConfig.depth()
+    model = DPTDepthModel(cfg)
+    if ckpt.endswith(".npz"):
+        from .utils.params import load_params_npz
+        params = load_params_npz(ckpt)
+    else:
+        from .utils.convert import convert_dpt
+        template = jax.eval_shape(
+            lambda k: model.init(k, jnp.zeros((1, hw, hw, 3))),
+            jax.random.PRNGKey(0))
+        params = convert_dpt(ckpt, template)
+
+    x = rgb.astype(np.float32) / 255.0
+    x = np.asarray(resize_bilinear(jnp.asarray(x)[None], (hw, hw)))
+    if task == "depth":
+        x = (x - 0.5) / 0.5
+    out = jax.jit(model.apply)({"params": params["params"]},
+                               jnp.asarray(x))
+    out = jnp.clip(out, 0.0, 1.0)
+    out = resize_bilinear(out, rgb.shape[:2])[0]
+    return np.asarray(out[..., 0] if task == "depth" else out)
+
+
 def estimate_depth(rgb: np.ndarray, dpt_path: Optional[str]
                    ) -> Optional[np.ndarray]:
     """[H, W, 3] uint8 → [H, W] float32 in [0,1], or None if no model."""
@@ -145,7 +187,9 @@ def recenter(rgba: np.ndarray, size: int, border_ratio: float = 0.2
 # ---------------------------------------------------------------------------
 
 def preprocess(path: str, size: int = 256, border_ratio: float = 0.2,
-               dpt_path: Optional[str] = None, do_recenter: bool = True
+               dpt_path: Optional[str] = None, do_recenter: bool = True,
+               omnidata_depth: Optional[str] = None,
+               omnidata_normal: Optional[str] = None
                ) -> Tuple[str, Optional[str], Optional[str]]:
     from PIL import Image
 
@@ -159,12 +203,23 @@ def preprocess(path: str, size: int = 256, border_ratio: float = 0.2,
     Image.fromarray(rgba).save(rgba_path)
 
     depth_path = normal_path = None
-    depth = estimate_depth(rgba[..., :3], dpt_path)
+    mask = rgba[..., 3] > 10
+    if omnidata_depth and os.path.exists(omnidata_depth):
+        depth = run_omnidata(rgba[..., :3], omnidata_depth, "depth")
+    else:
+        depth = estimate_depth(rgba[..., :3], dpt_path)
     if depth is not None:
-        depth = depth * (rgba[..., 3] > 10)
+        depth = depth * mask
         depth_path = f"{base}_depth.png"
         Image.fromarray((depth * 255).astype(np.uint8)).save(depth_path)
+    if omnidata_normal and os.path.exists(omnidata_normal):
+        normal = run_omnidata(rgba[..., :3], omnidata_normal, "normal")
+        normal = normal * mask[..., None]
+    elif depth is not None:
         normal = normal_from_depth(depth)
+    else:
+        normal = None
+    if normal is not None:
         normal_path = f"{base}_normal.png"
         Image.fromarray((normal * 255).astype(np.uint8)).save(normal_path)
     return rgba_path, depth_path, normal_path
@@ -177,10 +232,15 @@ def main(argv=None):
     ap.add_argument("--border_ratio", type=float, default=0.2)
     ap.add_argument("--dpt_path", type=str, default=None,
                     help="local transformers DPT checkpoint dir (optional)")
+    ap.add_argument("--omnidata_depth", type=str, default=None,
+                    help="omnidata_dpt_depth_v2 .ckpt/.pt/.npz (optional)")
+    ap.add_argument("--omnidata_normal", type=str, default=None,
+                    help="omnidata_dpt_normal_v2 .ckpt/.pt/.npz (optional)")
     ap.add_argument("--recenter", type=int, default=1)
     args = ap.parse_args(argv)
     outs = preprocess(args.path, args.size, args.border_ratio,
-                      args.dpt_path, bool(args.recenter))
+                      args.dpt_path, bool(args.recenter),
+                      args.omnidata_depth, args.omnidata_normal)
     print("wrote:", *[o for o in outs if o])
     return outs
 

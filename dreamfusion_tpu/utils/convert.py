@@ -795,9 +795,85 @@ def convert_if(src: str, guidance, params: Dict[str, Any]
     return out
 
 
+def dpt_mapper() -> Callable[[str], Optional[str]]:
+    """models/dpt.DPTDepthModel ← the reference's vendored torch DPT
+    (dpt.py:840-923, timm vit_base_resnet50_384 backbone naming), i.e. the
+    omnidata_dpt_{depth,normal}_v2.ckpt layout.  The checkpoint's
+    `scratch.refinenet4.resConfUnit1.*` weights are dead in the reference
+    too (refinenet4 is called with a single input, dpt.py:891) and have no
+    flax counterpart."""
+    pm = "pretrained.model."
+
+    def mapper(path: str) -> Optional[str]:
+        p = path
+        wb = "weight" if p.endswith(("kernel", "scale")) else "bias"
+        if p.startswith("vit/"):
+            p = p[4:]
+            if p in ("cls_token", "pos_embed"):
+                return pm + p
+            if p.startswith("stem_conv/"):
+                return pm + "patch_embed.backbone.stem.conv.weight"
+            if p.startswith("stem_norm/"):
+                return pm + f"patch_embed.backbone.stem.norm.{wb}"
+            if p.startswith("patch_proj/"):
+                return pm + f"patch_embed.proj.{wb}"
+            if p.startswith("norm/"):
+                return pm + f"norm.{wb}"
+            m = re.match(r"stage(\d+)_block(\d+)/(\w+)/", p)
+            if m:
+                s, b, sub = m.groups()
+                sub = {"downsample_conv": "downsample.conv",
+                       "downsample_norm": "downsample.norm"}.get(sub, sub)
+                return (pm + f"patch_embed.backbone.stages.{s}."
+                        f"blocks.{b}.{sub}.{wb}")
+            m = re.match(r"block(\d+)/(\w+)/", p)
+            if m:
+                i, sub = m.groups()
+                sub = {"qkv": "attn.qkv", "proj": "attn.proj",
+                       "fc1": "mlp.fc1", "fc2": "mlp.fc2"}.get(sub, sub)
+                return pm + f"blocks.{i}.{sub}.{wb}"
+            return None
+        m = re.match(r"readout(\d)/project/", p)
+        if m:
+            return (f"pretrained.act_postprocess{m.group(1)}."
+                    f"0.project.0.{wb}")
+        if p.startswith("post3_conv/"):
+            return f"pretrained.act_postprocess3.3.{wb}"
+        if p.startswith("post4_conv/"):
+            return f"pretrained.act_postprocess4.3.{wb}"
+        if p.startswith("post4_down/"):
+            return f"pretrained.act_postprocess4.4.{wb}"
+        m = re.match(r"layer(\d)_rn/", p)
+        if m:
+            return f"scratch.layer{m.group(1)}_rn.weight"
+        m = re.match(r"refinenet(\d)/(?:rcu(\d)/conv(\d)|out_conv)/", p)
+        if m:
+            i, rcu, conv = m.groups()
+            sub = f"resConfUnit{rcu}.conv{conv}" if rcu else "out_conv"
+            return f"scratch.refinenet{i}.{sub}.{wb}"
+        m = re.match(r"head_conv(\d)/", p)
+        if m:
+            idx = {"1": 0, "2": 2, "3": 4}[m.group(1)]
+            return f"scratch.output_conv.{idx}.{wb}"
+        return None
+
+    return mapper
+
+
+def convert_dpt(src: str, params: Dict[str, Any]) -> Dict[str, Any]:
+    """src: omnidata_dpt_{depth,normal}_v2.ckpt → params for
+    models/dpt.DPTDepthModel (reference preprocess_image.py:83-92 load,
+    including the 'state_dict' + 6-char-prefix wrapping)."""
+    sd = load_torch_state_dict(src)
+    if any(k.startswith("model.") for k in sd):        # pl 'model.' wrap
+        sd = {k[6:]: v for k, v in sd.items() if k.startswith("model.")}
+    tree, _ = _convert(params["params"], dpt_mapper(), sd)
+    return {"params": tree}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("convert")
-    ap.add_argument("--kind", choices=["sd", "zero123", "clip", "if"],
+    ap.add_argument("--kind", choices=["sd", "zero123", "clip", "if", "dpt"],
                     required=True)
     ap.add_argument("--src", required=True)
     ap.add_argument("--out", required=True, help="output dir for npz files")
@@ -834,6 +910,14 @@ def main(argv=None):
         for name in ("unet", "vae", "vision", "cc_projection"):
             save_params_npz(os.path.join(args.out, f"{name}.npz"),
                             params[name])
+    elif args.kind == "dpt":
+        from ..models.dpt import DPTConfig, init_dpt
+        cfg = DPTConfig.normal() if "normal" in os.path.basename(args.src) \
+            else DPTConfig.depth()
+        _, params = init_dpt(cfg, jax.random.PRNGKey(0))
+        params = convert_dpt(args.src, params)
+        name = "dpt_normal" if cfg.num_channels == 3 else "dpt_depth"
+        save_params_npz(os.path.join(args.out, f"{name}.npz"), params)
     else:
         from ..guidance.clip import CLIPConfig, CLIPGuidance
         g = CLIPGuidance(CLIPConfig())

@@ -207,13 +207,103 @@ def gen_if_xl():
     return out
 
 
+def gen_dpt(num_channels=1):
+    """omnidata_dpt_{depth,normal}_v2.ckpt inventory: the reference's
+    DPTDepthModel(backbone='vitb_rn50_384', readout='project')
+    (/root/reference/dpt.py:840-923) whose backbone is timm
+    vit_base_resnet50_384.  Reconstructed structurally from the module
+    definitions (timm isn't installed here): ResNetV2 (3,4,9) hybrid stem
+    with StdConv+GroupNorm32, ViT-B/16 at 384² (577 tokens), project
+    readout, scratch/refinenet decoder, DPTDepthModel head."""
+    D, MLP, GRID = 768, 3072, 24
+    pm = "pretrained.model."
+    out = {
+        pm + "cls_token": [1, 1, D],
+        pm + "pos_embed": [1, GRID * GRID + 1, D],
+        pm + "patch_embed.proj.weight": [D, 1024, 1, 1],
+        pm + "patch_embed.proj.bias": [D],
+        pm + "patch_embed.backbone.stem.conv.weight": [64, 3, 7, 7],
+        pm + "patch_embed.backbone.stem.norm.weight": [64],
+        pm + "patch_embed.backbone.stem.norm.bias": [64],
+        pm + "norm.weight": [D], pm + "norm.bias": [D],
+    }
+    # ResNetV2 stages (non-preact bottlenecks, GroupNorm32)
+    chans = [(64, 64, 256), (256, 128, 512), (512, 256, 1024)]
+    for s, depth in enumerate((3, 4, 9)):
+        cin, mid, cout = chans[s]
+        for b in range(depth):
+            p = pm + f"patch_embed.backbone.stages.{s}.blocks.{b}."
+            bin_ = cin if b == 0 else cout
+            out.update({
+                p + "conv1.weight": [mid, bin_, 1, 1],
+                p + "norm1.weight": [mid], p + "norm1.bias": [mid],
+                p + "conv2.weight": [mid, mid, 3, 3],
+                p + "norm2.weight": [mid], p + "norm2.bias": [mid],
+                p + "conv3.weight": [cout, mid, 1, 1],
+                p + "norm3.weight": [cout], p + "norm3.bias": [cout],
+            })
+            if b == 0:
+                out.update({
+                    p + "downsample.conv.weight": [cout, bin_, 1, 1],
+                    p + "downsample.norm.weight": [cout],
+                    p + "downsample.norm.bias": [cout],
+                })
+    for i in range(12):
+        p = pm + f"blocks.{i}."
+        out.update({
+            p + "norm1.weight": [D], p + "norm1.bias": [D],
+            p + "attn.qkv.weight": [3 * D, D], p + "attn.qkv.bias": [3 * D],
+            p + "attn.proj.weight": [D, D], p + "attn.proj.bias": [D],
+            p + "norm2.weight": [D], p + "norm2.bias": [D],
+            p + "mlp.fc1.weight": [MLP, D], p + "mlp.fc1.bias": [MLP],
+            p + "mlp.fc2.weight": [D, MLP], p + "mlp.fc2.bias": [D],
+        })
+    # act_postprocess3/4 (Sequential index naming; 1/2 are Identity for the
+    # rn50 hybrid, dpt.py:440-446); readout 'project' adds project.0 Linear
+    for n, extra in (("3", False), ("4", True)):
+        p = f"pretrained.act_postprocess{n}."
+        out.update({
+            p + "0.project.0.weight": [D, 2 * D],
+            p + "0.project.0.bias": [D],
+            p + "3.weight": [D, D, 1, 1], p + "3.bias": [D],
+        })
+        if extra:
+            out[p + "4.weight"] = [D, D, 3, 3]
+            out[p + "4.bias"] = [D]
+    # scratch: RN convs (no bias), refinenets, head
+    F = 256
+    for i, cin in enumerate((256, 512, D, D), start=1):
+        out[f"scratch.layer{i}_rn.weight"] = [F, cin, 3, 3]
+    for i in range(1, 5):
+        p = f"scratch.refinenet{i}."
+        for rcu in ("resConfUnit1", "resConfUnit2"):
+            out.update({
+                p + rcu + ".conv1.weight": [F, F, 3, 3],
+                p + rcu + ".conv1.bias": [F],
+                p + rcu + ".conv2.weight": [F, F, 3, 3],
+                p + rcu + ".conv2.bias": [F],
+            })
+        out[p + "out_conv.weight"] = [F, F, 1, 1]
+        out[p + "out_conv.bias"] = [F]
+    out.update({
+        "scratch.output_conv.0.weight": [F // 2, F, 3, 3],
+        "scratch.output_conv.0.bias": [F // 2],
+        "scratch.output_conv.2.weight": [32, F // 2, 3, 3],
+        "scratch.output_conv.2.bias": [32],
+        "scratch.output_conv.4.weight": [num_channels, 32, 1, 1],
+        "scratch.output_conv.4.bias": [num_channels],
+    })
+    return out
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     for name, fn in [("t5_encoder_keys", gen_t5),
                      ("clip_sd2_text_keys", gen_clip_text),
                      ("sd15_ldm_keys", gen_sd15_ldm),
                      ("zero123_ldm_keys", gen_zero123_ldm),
-                     ("if_xl_unet_keys", gen_if_xl)]:
+                     ("if_xl_unet_keys", gen_if_xl),
+                     ("omnidata_dpt_keys", gen_dpt)]:
         inv = fn()
         path = os.path.join(OUT, name + ".json")
         with open(path, "w") as f:

@@ -71,3 +71,42 @@ def test_cli_writes_rgba(tmp_path):
                           workspace=str(tmp_path / "ws")))
     ref = load_ref_images(cfg, 32, 32)
     assert ref.rgb.shape[0] == 1 and ref.mask.any()
+
+
+def test_run_omnidata_from_torch_ckpt(tmp_path):
+    """End-to-end vendored-DPT path: a torch checkpoint in the omnidata
+    layout (synthesized, tiny dims) is converted on the fly and produces a
+    source-resolution depth map in [0,1]."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from dreamfusion_tpu.models.dpt import DPTConfig, DPTDepthModel
+    from dreamfusion_tpu.preprocess_image import run_omnidata
+    from dreamfusion_tpu.utils import convert as C
+
+    cfg = DPTConfig(num_channels=1, vit_depth=2, resnet_depths=(1, 1, 1),
+                    hooks=(0, 1))
+    m = DPTDepthModel(cfg)
+    t = jax.eval_shape(lambda k: m.init(k, jnp.zeros((1, 64, 64, 3))),
+                       jax.random.PRNGKey(0))["params"]
+    rng = np.random.default_rng(0)
+    sd = {}
+    for path, leaf in C._flax_paths(t):
+        tk = C.dpt_mapper()(path)
+        assert tk is not None, path
+        shape = list(leaf.shape)
+        if len(shape) == 4:
+            shape = [shape[3], shape[2], shape[0], shape[1]]
+        elif len(shape) == 2 and path.endswith("kernel"):
+            shape = [shape[1], shape[0]]
+        sd[tk] = 0.05 * rng.standard_normal(shape).astype(np.float32)
+    ckpt = tmp_path / "omnidata_tiny.pt"
+    torch.save({"state_dict": {k: torch.tensor(v) for k, v in sd.items()}},
+               str(ckpt))
+
+    img, _ = synthetic_object_image(80)
+    depth = run_omnidata(img, str(ckpt), task="depth", cfg=cfg, hw=64)
+    assert depth.shape == (80, 80)
+    assert np.isfinite(depth).all()
+    assert depth.min() >= 0.0 and depth.max() <= 1.0

@@ -40,7 +40,7 @@ BASELINE_IT_S = 10000.0 / (15.0 * 60.0)  # 11.11 it/s
 
 def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
               backbone: str = "grid", fine_steps: int = 0,
-              triplane_scales: int = 0):
+              coarse_steps: int = 0, triplane_scales: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -72,6 +72,8 @@ def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
         extra = {}
         if fine_steps:
             extra["grid_fine_steps"] = fine_steps
+        if coarse_steps:
+            extra["grid_coarse_steps"] = coarse_steps
         if triplane_scales:
             extra["triplane_scales"] = triplane_scales
         cfg = finalize(Config(
@@ -136,6 +138,7 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--hw", type=int, default=64)
     ap.add_argument("--fine", type=int, default=0)
+    ap.add_argument("--coarse", type=int, default=0)
     ap.add_argument("--scales", type=int, default=0)
     ap.add_argument("--backbone", type=str, default="triplane",
                 help="triplane (TPU-first flagship) | grid | vanilla")
@@ -147,6 +150,7 @@ def main():
 
     it_s = run_bench(smoke=args.smoke, steps=args.steps, render_hw=args.hw,
                      backbone=args.backbone, fine_steps=args.fine,
+                     coarse_steps=args.coarse,
                      triplane_scales=args.scales)
     print(json.dumps({
         "metric": "sds_iterations_per_sec",

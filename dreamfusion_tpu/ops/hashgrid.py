@@ -157,6 +157,31 @@ def _corner_pack(slab: jax.Array) -> jax.Array:
     return jnp.concatenate(corners, axis=-1)
 
 
+def _level_geom(xf: jax.Array, spec: HashGridSpec, res: int
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Per-level lattice base coords [N, D] (uint32) + per-corner
+    interpolation weights [N, 2^D] (corner bit d = dim d)."""
+    D = xf.shape[-1]
+    if spec.align_corners:
+        pos = xf * (res - 1)
+        pos_grid = jnp.clip(jnp.floor(pos), 0, max(res - 2, 0))
+    else:
+        pos = jnp.clip(xf * res - 0.5, 0.0, res - 1)
+        pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid
+    if spec.interpolation == "smoothstep":
+        w_frac = frac * frac * (3.0 - 2.0 * frac)
+    else:
+        w_frac = frac
+    bits = jnp.asarray(
+        [[(corner >> d) & 1 for d in range(D)]
+         for corner in range(1 << D)], dtype=jnp.float32)       # [2^D, D]
+    w_all = jnp.prod(
+        jnp.where(bits[None].astype(bool), w_frac[:, None, :],
+                  1.0 - w_frac[:, None, :]), axis=-1)           # [N, 2^D]
+    return pos_grid.astype(jnp.uint32), w_all
+
+
 def hash_encode(
     x: jax.Array,                     # [N, D] in [0, 1]
     table: jax.Array,                 # [table_size, C] fp32
@@ -164,7 +189,22 @@ def hash_encode(
     max_level: Optional[jax.Array] = None,   # traced scalar in [0, 1]
     out_dtype=None,
 ) -> jax.Array:
-    """Forward encoding: [N, D] → [N, L*C]."""
+    """Forward encoding: [N, D] → [N, L*C].
+
+    All levels are served by exactly TWO gather ops (and therefore two
+    scatter-adds in the backward), regardless of L:
+
+      * dense (tiled) levels — corner-packed slabs (one ≤128-lane row per
+        sample per level holds all 2^D corners) concatenated across levels
+        into one table → one gather of [N, L_dense] rows;
+      * hashed levels — corners land at unrelated table rows, so the
+        (level, corner) lookups are batched into one gather of
+        [N, L_hash·2^D] rows over the raw table.
+
+    Same total row count as the old per-level loop (rows are the
+    irreducible cost on this backend, CLAUDE.md gotcha 3), but the ~86
+    separate gather/scatter ops collapse to 2 gathers + 2 backward
+    scatters — dispatch/fusion-boundary overhead was the remaining cost."""
     N, D = x.shape
     C = spec.level_dim
     L = spec.num_levels
@@ -178,58 +218,60 @@ def hash_encode(
     else:
         n_active = None
 
-    outs: List[jax.Array] = []
-    for l in range(L):
-        res = spec.resolutions[l]
-        hsize = spec.level_sizes[l]
-        off = spec.offsets[l]
+    dense_levels = [l for l in range(L)
+                    if spec.level_sizes[l] == spec.resolutions[l] ** D]
+    hash_levels = [l for l in range(L) if l not in dense_levels]
+    level_out: List[Optional[jax.Array]] = [None] * L
 
-        if spec.align_corners:
-            pos = xf * (res - 1)
-            pos_grid = jnp.clip(jnp.floor(pos), 0, max(res - 2, 0))
-        else:
-            pos = jnp.clip(xf * res - 0.5, 0.0, res - 1)
-            pos_grid = jnp.floor(pos)
-        frac = pos - pos_grid
-        if spec.interpolation == "smoothstep":
-            w_frac = frac * frac * (3.0 - 2.0 * frac)
-        else:
-            w_frac = frac
-        base = pos_grid.astype(jnp.uint32)                      # [N, D]
-
-        # per-corner interpolation weights [N, 2^D] (corner bit d = dim d)
-        bits = jnp.asarray(
-            [[(corner >> d) & 1 for d in range(D)]
-             for corner in range(1 << D)], dtype=jnp.float32)   # [2^D, D]
-        w_all = jnp.prod(
-            jnp.where(bits[None].astype(bool), w_frac[:, None, :],
-                      1.0 - w_frac[:, None, :]), axis=-1)       # [N, 2^D]
-
-        if hsize == res ** D:
-            # dense (tiled) level: ONE corner-packed gather per sample.
-            # slab axes are (d_{D-1}, ..., d_0, C) since the stride order in
+    if dense_levels:
+        packed_tables, idx_cols, w_cols = [], [], []
+        acc = 0
+        for l in dense_levels:
+            res, hsize, off = (spec.resolutions[l], spec.level_sizes[l],
+                               spec.offsets[l])
+            # slab axes are (d_{D-1}, ..., d_0, C): the stride order in
             # _level_index is x + y*res + z*res^2
             slab = table[off:off + hsize].reshape((res,) * D + (C,))
-            packed = _corner_pack(slab).reshape(hsize, (1 << D) * C)
-            idx = _level_index(base, res, hsize, spec.gridtype)  # [N]
-            vals = packed[idx].reshape(N, 1 << D, C)
-            level_out = jnp.einsum("nk,nkc->nc", w_all, vals)
-        else:
-            level_out = jnp.zeros((N, C), dtype=jnp.float32)
+            packed_tables.append(
+                _corner_pack(slab).reshape(hsize, (1 << D) * C))
+            base, w_all = _level_geom(xf, spec, res)
+            idx_cols.append(
+                _level_index(base, res, hsize, spec.gridtype) + acc)
+            w_cols.append(w_all)
+            acc += hsize
+        big = jnp.concatenate(packed_tables, axis=0)     # [sum, 2^D·C]
+        idx = jnp.stack(idx_cols, axis=1)                # [N, Ld]
+        vals = big[idx.reshape(-1)].reshape(N, len(dense_levels), 1 << D, C)
+        w = jnp.stack(w_cols, axis=1)                    # [N, Ld, 2^D]
+        outs = jnp.einsum("nlk,nlkc->nlc", w, vals)      # [N, Ld, C]
+        for i, l in enumerate(dense_levels):
+            level_out[l] = outs[:, i]
+
+    if hash_levels:
+        idx_cols, w_cols = [], []
+        for l in hash_levels:
+            res, hsize, off = (spec.resolutions[l], spec.level_sizes[l],
+                               spec.offsets[l])
+            base, w_all = _level_geom(xf, spec, res)
             for corner in range(1 << D):
                 sel = jnp.asarray(
-                    [(corner >> d) & 1 for d in range(D)], dtype=jnp.uint32
-                )
-                pg = jnp.minimum(base + sel, jnp.uint32(res - 1))   # [N, D]
-                idx = _level_index(pg, res, hsize, spec.gridtype)   # [N]
-                vals = table[off + idx]                             # [N, C]
-                level_out = level_out + w_all[:, corner, None] * vals
+                    [(corner >> d) & 1 for d in range(D)], dtype=jnp.uint32)
+                pg = jnp.minimum(base + sel, jnp.uint32(res - 1))
+                idx_cols.append(
+                    off + _level_index(pg, res, hsize, spec.gridtype))
+            w_cols.append(w_all)
+        idx = jnp.stack(idx_cols, axis=1)                # [N, Lh·2^D]
+        vals = table[idx.reshape(-1)].reshape(
+            N, len(hash_levels), 1 << D, C)
+        w = jnp.stack(w_cols, axis=1)                    # [N, Lh, 2^D]
+        outs = jnp.einsum("nlk,nlkc->nlc", w, vals)
+        for i, l in enumerate(hash_levels):
+            level_out[l] = outs[:, i]
 
-        if n_active is not None:
-            level_out = level_out * (l < n_active).astype(level_out.dtype)
-        outs.append(level_out)
-
-    out = jnp.concatenate(outs, axis=-1)                         # [N, L*C]
+    out = jnp.concatenate(level_out, axis=-1)            # [N, L*C]
+    if n_active is not None:
+        mask = (jnp.arange(L) < n_active).astype(out.dtype)  # [L]
+        out = out * jnp.repeat(mask, C)[None, :]
     out = jnp.where(oob, 0.0, out)
     if out_dtype is not None:
         out = out.astype(out_dtype)

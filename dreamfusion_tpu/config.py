@@ -88,11 +88,19 @@ class Config:
     blob_radius: float = 0.2
     grid_size: int = 128
     # TPU-native renderer knobs (replaces the reference's dynamic two-pass
-    # CUDA allocation, raymarching.py:197-256, with static sample budgets):
-    grid_coarse_steps: int = 128   # occupancy-probe samples per ray
+    # CUDA allocation, raymarching.py:197-256, with static sample budgets).
+    # Defaults set by a measured speed/quality sweep on the convergence
+    # benchmark (tests/test_convergence.py fit, scripts/quality_fine_steps.py
+    # + /tmp probe sweep, Aug 17): converged PSNR by fine_steps
+    # 96→64.7 64→61.2 48→60.8 32→59.6 24→59.2 dB, and by coarse probe
+    # (G=128-equivalent) 128→59.6 64→60.1 32→60.2 16→57.8 8→15.2 dB —
+    # 32/32 keeps full quality (the collapse is only below 16 probes);
+    # TPU it/s 6.9 (96/128) → 11.5 (32/32).
+    grid_coarse_steps: int = 32    # occupancy-probe samples per ray
     # network-evaluated samples per ray; importance-resampled into occupied
-    # cells, so 96 matches the reference's effective occupancy-marched count
-    grid_fine_steps: int = 96
+    # cells (so they concentrate where the reference's occupancy-marched
+    # samples would land)
+    grid_fine_steps: int = 32
     occupancy_mode: str = "resample"  # resample | mask
 
     # ---- network arch (reference nerf/network_grid.py:24-66, network.py:89-148) ----
@@ -107,6 +115,9 @@ class Config:
     grid_base_resolution: int = 16
     grid_desired_resolution: int = 2048
     grid_interpolation: str = "smoothstep"  # linear | smoothstep
+    # hash combiner: affine (additive-congruential — TPU-first, 1 packed
+    # gather row per sample/level, ops/hashgrid.py) | xor (tcnn parity)
+    grid_hash: str = "affine"
     # triplane backbone (TPU-first encoder — see ops/triplane.py).
     # Single-scale 256² planes (EG3D configuration). Scale count drives the
     # gather/scatter row count; table size ALSO matters (512² measured 2×

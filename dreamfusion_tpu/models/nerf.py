@@ -112,6 +112,7 @@ class NeRFField(nn.Module):
     grid_log2_hashmap_size: int = 19
     grid_desired_resolution: int = 2048
     grid_interpolation: str = "smoothstep"
+    grid_hash: str = "affine"           # affine (packed fast path) | hash
     freq_multires: int = 12                # vanilla main encoding
     freq_multires_bg: int = 6              # bg encoding (network_grid.py:62)
     vanilla_num_layers: int = 5
@@ -136,6 +137,7 @@ class NeRFField(nn.Module):
                 log2_hashmap_size=self.grid_log2_hashmap_size,
                 desired_resolution=int(self.grid_desired_resolution * self.bound),
                 interpolation=self.grid_interpolation,
+                gridtype="affine" if self.grid_hash == "affine" else "hash",
             )
             self.grid_table = self.param(
                 "grid_table",

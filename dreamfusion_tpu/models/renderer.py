@@ -76,6 +76,7 @@ class NeRFRenderer(nn.Module):
     grid_log2_hashmap_size: int = 19
     grid_desired_resolution: int = 2048
     grid_interpolation: str = "smoothstep"
+    grid_hash: str = "affine"
     triplane_resolution: int = 256
     triplane_channels: int = 16
     triplane_scales: int = 2
@@ -99,6 +100,7 @@ class NeRFRenderer(nn.Module):
             grid_log2_hashmap_size=self.grid_log2_hashmap_size,
             grid_desired_resolution=self.grid_desired_resolution,
             grid_interpolation=self.grid_interpolation,
+            grid_hash=self.grid_hash,
             triplane_resolution=self.triplane_resolution,
             triplane_channels=self.triplane_channels,
             triplane_scales=self.triplane_scales,

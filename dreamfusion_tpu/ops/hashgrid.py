@@ -53,7 +53,13 @@ class HashGridSpec:
     log2_hashmap_size: int = 19
     desired_resolution: Optional[int] = 2048
     per_level_scale: float = 2.0
-    gridtype: str = "hash"           # hash | tiled
+    # hash  — tcnn-parity xor-prime hashing (gridencoder.cu:46-79)
+    # affine — additive-congruential hashing: same large odd primes, but
+    #          summed instead of xored, making the hash affine in lattice
+    #          coords → 1 packed gather row per (sample, level) (TPU-first
+    #          fast path; collision lattice instead of xor scatter)
+    # tiled — raster indexing with wraparound at every level
+    gridtype: str = "hash"           # hash | affine | tiled
     align_corners: bool = False
     interpolation: str = "linear"    # linear | smoothstep
 
@@ -121,10 +127,20 @@ def _level_index(pos_grid: jax.Array, res: int, hashmap_size: int,
             break
         index = index + pg[..., d] * jnp.uint32(stride % (1 << 32))
         stride *= res
-    if gridtype == "hash" and stride > hashmap_size:
+    if gridtype in ("hash", "affine") and stride > hashmap_size:
         index = jnp.zeros(pos_grid.shape[:-1], dtype=jnp.uint32)
         for d in range(D):
-            index = index ^ (pg[..., d] * jnp.uint32(_PRIMES[d]))
+            term = pg[..., d] * jnp.uint32(_PRIMES[d])
+            # affine: SUM the products instead of XORing them.  Addition
+            # makes the hash affine in the lattice coords, so a cell's
+            # 2^D corner indices differ from its base index by CONSTANT
+            # per-level offsets — which is what lets hash_encode serve a
+            # hashed level from ONE corner-packed gathered row per sample
+            # (the packed table is 2^D rolls of the parameter table).
+            # Collisions form a lattice instead of xor's scatter, but the
+            # multipliers are the same large odd primes; quality parity is
+            # checked by the convergence benchmark.
+            index = (index + term) if gridtype == "affine" else (index ^ term)
     return (index % jnp.uint32(hashmap_size)).astype(jnp.int32)
 
 
@@ -191,20 +207,21 @@ def hash_encode(
 ) -> jax.Array:
     """Forward encoding: [N, D] → [N, L*C].
 
-    All levels are served by exactly TWO gather ops (and therefore two
+    All levels are served by at most TWO gather ops (and therefore two
     scatter-adds in the backward), regardless of L:
 
-      * dense (tiled) levels — corner-packed slabs (one ≤128-lane row per
-        sample per level holds all 2^D corners) concatenated across levels
-        into one table → one gather of [N, L_dense] rows;
-      * hashed levels — corners land at unrelated table rows, so the
-        (level, corner) lookups are batched into one gather of
-        [N, L_hash·2^D] rows over the raw table.
+      * packed levels — dense (tiled) levels corner-pack their slab, and
+        with `gridtype='affine'` hashed levels corner-pack via 2^D rolls
+        of their table slice (corner offsets are constant under an affine
+        hash); all concatenate into one table → ONE gathered ≤128-lane
+        row per (sample, level);
+      * xor-hashed levels (`gridtype='hash'`, tcnn parity) — corners land
+        at unrelated rows, so the (level, corner) lookups batch into one
+        gather of [N, L_hash·2^D] rows.
 
-    Same total row count as the old per-level loop (rows are the
-    irreducible cost on this backend, CLAUDE.md gotcha 3), but the ~86
-    separate gather/scatter ops collapse to 2 gathers + 2 backward
-    scatters — dispatch/fusion-boundary overhead was the remaining cost."""
+    Rows are the irreducible cost on this backend (~6.5 ns gather /
+    ~60 ns scatter per row, CLAUDE.md gotcha 3): 'affine' cuts rows per
+    sample from L_dense + 8·L_hash (≈93 at default spec) to L (16)."""
     N, D = x.shape
     C = spec.level_dim
     L = spec.num_levels
@@ -220,31 +237,55 @@ def hash_encode(
 
     dense_levels = [l for l in range(L)
                     if spec.level_sizes[l] == spec.resolutions[l] ** D]
-    hash_levels = [l for l in range(L) if l not in dense_levels]
+    hashed = [l for l in range(L) if l not in dense_levels]
+    # affine hashing keeps corner offsets constant per level, so hashed
+    # levels ride the 1-row packed path too; xor levels need 2^D rows.
+    packed_levels = dense_levels + (hashed if spec.gridtype == "affine"
+                                    else [])
+    hash_levels = [] if spec.gridtype == "affine" else hashed
     level_out: List[Optional[jax.Array]] = [None] * L
 
-    if dense_levels:
+    if packed_levels:
         packed_tables, idx_cols, w_cols = [], [], []
         acc = 0
-        for l in dense_levels:
+        for l in packed_levels:
             res, hsize, off = (spec.resolutions[l], spec.level_sizes[l],
                                spec.offsets[l])
-            # slab axes are (d_{D-1}, ..., d_0, C): the stride order in
-            # _level_index is x + y*res + z*res^2
-            slab = table[off:off + hsize].reshape((res,) * D + (C,))
-            packed_tables.append(
-                _corner_pack(slab).reshape(hsize, (1 << D) * C))
+            if l in dense_levels:
+                # slab axes are (d_{D-1}, ..., d_0, C): the stride order in
+                # _level_index is x + y*res + z*res^2
+                slab = table[off:off + hsize].reshape((res,) * D + (C,))
+                packed_tables.append(
+                    _corner_pack(slab).reshape(hsize, (1 << D) * C))
+            else:
+                # affine-hashed level: index(base + corner_j) =
+                # (index(base) + off_j) mod hsize with CONSTANT off_j =
+                # Σ_d bit_d(j)·prime_d — so the corner-packed table is just
+                # 2^D rolls of the parameter slice (dense ops, cheap VJP),
+                # and the lookup is one gathered row per sample.  Corner
+                # coords are deliberately NOT edge-clamped here: an
+                # out-of-lattice corner can only occur at frac == 0 where
+                # its interpolation weight is exactly zero.
+                assert hsize & (hsize - 1) == 0, "hashed size must be 2^k"
+                sub = table[off:off + hsize]
+                corners = []
+                for corner in range(1 << D):
+                    off_j = sum(_PRIMES[d] for d in range(D)
+                                if (corner >> d) & 1) % hsize
+                    corners.append(sub if off_j == 0
+                                   else jnp.roll(sub, -off_j, axis=0))
+                packed_tables.append(jnp.concatenate(corners, axis=-1))
             base, w_all = _level_geom(xf, spec, res)
             idx_cols.append(
                 _level_index(base, res, hsize, spec.gridtype) + acc)
             w_cols.append(w_all)
             acc += hsize
         big = jnp.concatenate(packed_tables, axis=0)     # [sum, 2^D·C]
-        idx = jnp.stack(idx_cols, axis=1)                # [N, Ld]
-        vals = big[idx.reshape(-1)].reshape(N, len(dense_levels), 1 << D, C)
-        w = jnp.stack(w_cols, axis=1)                    # [N, Ld, 2^D]
-        outs = jnp.einsum("nlk,nlkc->nlc", w, vals)      # [N, Ld, C]
-        for i, l in enumerate(dense_levels):
+        idx = jnp.stack(idx_cols, axis=1)                # [N, Lp]
+        vals = big[idx.reshape(-1)].reshape(N, len(packed_levels), 1 << D, C)
+        w = jnp.stack(w_cols, axis=1)                    # [N, Lp, 2^D]
+        outs = jnp.einsum("nlk,nlkc->nlc", w, vals)      # [N, Lp, C]
+        for i, l in enumerate(packed_levels):
             level_out[l] = outs[:, i]
 
     if hash_levels:

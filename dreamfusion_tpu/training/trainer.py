@@ -82,6 +82,7 @@ def build_renderer(cfg: Config) -> NeRFRenderer:
         grid_log2_hashmap_size=cfg.grid_log2_hashmap_size,
         grid_desired_resolution=cfg.grid_desired_resolution,
         grid_interpolation=cfg.grid_interpolation,
+        grid_hash=cfg.grid_hash,
         triplane_resolution=cfg.triplane_resolution,
         triplane_channels=cfg.triplane_channels,
         triplane_scales=cfg.triplane_scales,
@@ -361,7 +362,9 @@ class Trainer:
                     level_dim=cfg.grid_features_per_level,
                     log2_hashmap_size=cfg.grid_log2_hashmap_size,
                     desired_resolution=int(cfg.grid_desired_resolution * cfg.bound),
-                    interpolation=cfg.grid_interpolation)
+                    interpolation=cfg.grid_interpolation,
+                    gridtype="affine" if cfg.grid_hash == "affine"
+                    else "hash")
                 table = params["field"]["grid_table"]
                 loss = loss + schedules.lambda_tv_at(cfg, step) * \
                     hashgrid_tv_loss(k_tv, table, spec)
@@ -376,7 +379,9 @@ class Trainer:
                     level_dim=cfg.grid_features_per_level,
                     log2_hashmap_size=cfg.grid_log2_hashmap_size,
                     desired_resolution=int(cfg.grid_desired_resolution * cfg.bound),
-                    interpolation=cfg.grid_interpolation)
+                    interpolation=cfg.grid_interpolation,
+                    gridtype="affine" if cfg.grid_hash == "affine"
+                    else "hash")
                 loss = loss + cfg.lambda_wd * hashgrid_wd_loss(
                     params["field"]["grid_table"], spec)
 

@@ -102,8 +102,11 @@ def _oracle_hashgrid(x, table, spec):
                 if stride > hsize:
                     index = 0
                     for d in range(3):
-                        index ^= (int(c[d]) * PRIMES[d]) & 0xFFFFFFFF
-                    index &= 0xFFFFFFFF
+                        t = (int(c[d]) * PRIMES[d]) & 0xFFFFFFFF
+                        if spec.gridtype == "affine":
+                            index = (index + t) & 0xFFFFFFFF
+                        else:
+                            index ^= t
                 idx = index % hsize
                 acc += w * table[off + idx]
             out[n, l * spec.level_dim:(l + 1) * spec.level_dim] = acc
@@ -119,6 +122,54 @@ def test_hashgrid_vs_oracle(key, rng):
     got = np.asarray(hash_encode(jnp.asarray(x), table, spec))
     want = _oracle_hashgrid(x, np.asarray(table), spec)
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_hashgrid_affine_vs_oracle(key, rng):
+    """The roll-packed affine fast path must agree with the brute-force
+    per-corner definition of the additive-congruential hash."""
+    spec = HashGridSpec(num_levels=4, level_dim=2, base_resolution=4,
+                        desired_resolution=64, log2_hashmap_size=8,
+                        gridtype="affine", interpolation="linear")
+    table = init_hashgrid(key, spec, scale=1.0)
+    x = rng.uniform(0, 1, size=(64, 3)).astype(np.float32)
+    got = np.asarray(hash_encode(jnp.asarray(x), table, spec))
+    want = _oracle_hashgrid(x, np.asarray(table), spec)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_hashgrid_affine_continuous_across_cells(key, rng):
+    """Affine hashing keeps exact corner sharing: the encoding is C0 at
+    cell boundaries (the property cell-local packing schemes would lose)."""
+    spec = HashGridSpec(num_levels=3, level_dim=2, base_resolution=8,
+                        desired_resolution=32, log2_hashmap_size=6,
+                        gridtype="affine")
+    table = init_hashgrid(key, spec, scale=1.0)
+    res = spec.resolutions[-1]
+    # points straddling a lattice plane of the finest level
+    boundary = (3 + 0.5) / res       # x*res - 0.5 == 3 exactly
+    eps = 1e-5
+    lo = np.array([[boundary - eps, 0.4, 0.6]], np.float32)
+    hi = np.array([[boundary + eps, 0.4, 0.6]], np.float32)
+    a = np.asarray(hash_encode(jnp.asarray(lo), table, spec))
+    b = np.asarray(hash_encode(jnp.asarray(hi), table, spec))
+    np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_hashgrid_affine_grad_flows(key, rng):
+    spec = HashGridSpec(num_levels=4, level_dim=2, base_resolution=4,
+                        desired_resolution=64, log2_hashmap_size=8,
+                        gridtype="affine")
+    table = init_hashgrid(key, spec, scale=1.0)
+    x = jnp.asarray(rng.uniform(0.1, 0.9, size=(16, 3)).astype(np.float32))
+
+    def loss(t, x):
+        return jnp.sum(hash_encode(x, t, spec) ** 2)
+
+    gt, gx = jax.grad(loss, argnums=(0, 1))(table, x)
+    assert np.isfinite(np.asarray(gt)).all()
+    assert float(jnp.abs(gt).sum()) > 0
+    assert np.isfinite(np.asarray(gx)).all()
+    assert float(jnp.abs(gx).sum()) > 0
 
 
 def test_hashgrid_smoothstep_and_oob(key, rng):

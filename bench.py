@@ -20,10 +20,12 @@ Measured on this chip (64² renders, full SD 2.1 guidance):
   0.18 s/step quad-packed gathers → 5.58 it/s
   0.16 s/step chunked-softmax attention → 6.20 it/s
   0.14 s/step size-dispatched convs → 7.13 it/s
-Scan-chained per-iter budget (scripts/profile_step_scan.py):
-full step ~131 ms = render-side 80 (57 albedo + ~23 autograd normals) +
-guidance ~51; optimizer/EMA and orient/entropy regs are ~free.
-`--backbone grid` benches the Instant-NGP-parity path.
+  0.087 s/step quality-swept sample budgets (32/32) → 11.53 it/s (> north
+  star 11.11); remaining budget is guidance-dominated (UNet CFG ~25 ms +
+  VAE encode fwd+bwd ~20 ms, near compute-bound) + render ~35 ms.
+`--backbone grid` benches the Instant-NGP-parity path: 2.19 it/s with the
+default affine-hash packed encoding, 0.852 with `--grid_hash xor` (tcnn
+parity — floor-bound by its 93 backward-scatter rows/sample at ~60 ns).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -40,7 +42,8 @@ BASELINE_IT_S = 10000.0 / (15.0 * 60.0)  # 11.11 it/s
 
 def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
               backbone: str = "grid", fine_steps: int = 0,
-              coarse_steps: int = 0, triplane_scales: int = 0):
+              coarse_steps: int = 0, triplane_scales: int = 0,
+              grid_hash: str = ""):
     import jax
     import jax.numpy as jnp
 
@@ -76,6 +79,8 @@ def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
             extra["grid_coarse_steps"] = coarse_steps
         if triplane_scales:
             extra["triplane_scales"] = triplane_scales
+        if grid_hash:
+            extra["grid_hash"] = grid_hash
         cfg = finalize(Config(
             text="a highly detailed hamburger", workspace="/tmp/dftpu_bench",
             backbone=backbone, w=render_hw, h=render_hw,
@@ -147,6 +152,8 @@ def main():
     ap.add_argument("--fine", type=int, default=0)
     ap.add_argument("--coarse", type=int, default=0)
     ap.add_argument("--scales", type=int, default=0)
+    ap.add_argument("--grid_hash", type=str, default="",
+                    help="affine (default) | xor (tcnn-parity hashing)")
     ap.add_argument("--backbone", type=str, default="triplane",
                 help="triplane (TPU-first flagship) | grid | vanilla")
     args = ap.parse_args()
@@ -158,7 +165,7 @@ def main():
     it_s = run_bench(smoke=args.smoke, steps=args.steps, render_hw=args.hw,
                      backbone=args.backbone, fine_steps=args.fine,
                      coarse_steps=args.coarse,
-                     triplane_scales=args.scales)
+                     triplane_scales=args.scales, grid_hash=args.grid_hash)
     print(json.dumps({
         "metric": "sds_iterations_per_sec",
         "value": round(it_s, 3),

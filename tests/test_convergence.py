@@ -53,8 +53,9 @@ def _target_views(n_views=4):
     return ro, rd, img, hit
 
 
-def fit(probe_steps: int = 32, fine_steps: int = 32, steps: int = 400):
-    """Fit the flagship path to the analytic target; returns
+def fit(probe_steps: int = 32, fine_steps: int = 32, steps: int = 400,
+        backbone: str = "triplane", grid_hash: str = "affine"):
+    """Fit a backbone to the analytic target; returns
     (init PSNR, converged PSNR).  Parameterized so sample-budget sweeps
     (scripts/quality_fine_steps.py) reuse the exact benchmark recipe."""
     key = jax.random.PRNGKey(0)
@@ -62,9 +63,11 @@ def fit(probe_steps: int = 32, fine_steps: int = 32, steps: int = 400):
     hitf = hit[:, None].astype(jnp.float32)
 
     model = NeRFRenderer(
-        backbone="triplane", triplane_resolution=64, triplane_channels=8,
+        backbone=backbone, triplane_resolution=64, triplane_channels=8,
         triplane_scales=2, hidden_dim=32, num_layers=2, bg_radius=-1,
         grid_probe_steps=probe_steps, grid_fine_steps=fine_steps,
+        grid_levels=8, grid_log2_hashmap_size=15,
+        grid_desired_resolution=128, grid_hash=grid_hash,
         compute_dtype=jnp.float32,
     )
     G = 32
@@ -75,7 +78,7 @@ def fit(probe_steps: int = 32, fine_steps: int = 32, steps: int = 400):
     params = variables["params"]
     # NOTE grad_clip must be -1 (off): build_optimizer treats any value
     # >= 0 as an element clip bound, so 0.0 zeroes every gradient.
-    optimizer = build_optimizer("adam", 1e-2, 400, "triplane", -1.0)
+    optimizer = build_optimizer("adam", 1e-2, 400, backbone, -1.0)
     opt_state = optimizer.init(params)
     density_grid = jnp.zeros((1, G ** 3))
 
@@ -156,3 +159,12 @@ def test_convergence_improves_over_init(fitted):
     assert psnr1 - psnr0 >= 8.0, (
         f"PSNR gain {psnr1 - psnr0:.2f} dB — renderer did not converge "
         f"(init {psnr0:.2f} → {psnr1:.2f})")
+
+
+def test_convergence_grid_affine():
+    """The affine-hash grid backbone (ops/hashgrid.py gridtype='affine',
+    the TPU-first default) must converge like the xor-hash parity mode —
+    guards the collision-lattice quality question with a measured bar."""
+    _, psnr1 = fit(steps=300, backbone="grid")
+    assert np.isfinite(psnr1)
+    assert psnr1 >= 22.0, f"affine grid converged {psnr1:.2f} dB < 22 dB"

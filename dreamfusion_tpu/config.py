@@ -208,6 +208,10 @@ class Config:
     mesh_axes: Tuple[str, ...] = ("data",)      # axis names matching mesh_shape
     shard_views: bool = True                    # data-parallel over rendered views
     fsdp_guidance: bool = False   # ZeRO-3-shard the frozen guidance towers
+    tp_guidance: bool = True      # Megatron-shard UNet attention/FF over a
+                                  # 'model' mesh axis when one exists
+    sp_rays: bool = True          # shard the flattened ray dim over the
+                                  # whole mesh (sequence-parallel render)
 
     # ---- precision ----
     compute_dtype: str = "bfloat16"   # activations in bf16, params fp32

@@ -90,7 +90,13 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """Dispatch per measured winners (scripts/profile_attn.py on the
     attached TPU): chunked online-softmax for long sequences (0.48 ms vs
     1.7-4.5 ms alternatives at N=4096), dense einsum attention for short
-    ones (incl. the 77-token cross-attention)."""
+    ones (incl. the 77-token cross-attention).
+
+    Under an active tensor-parallel context (parallel/tp.set_tp) the head
+    dimension is constrained to the model mesh axis, so each device
+    computes its own heads shard-locally (Megatron attention)."""
+    from ..parallel.tp import shard_heads
+    q, k, v = shard_heads(q), shard_heads(k), shard_heads(v)
     M = k.shape[1]
     if M >= chunk_threshold and M % chunk == 0:
         return chunked_attention(q, k, v, chunk=chunk)

@@ -122,6 +122,12 @@ class Trainer:
         self.cfg = cfg
         self.mesh = mesh
         self.ref_images = ref_images
+        # tensor-parallel guidance: when the mesh carries a >1 'model'
+        # axis, enable head-sharding hints in ops/attention (Megatron
+        # attention; parallel/tp.py) for every jit traced from here on.
+        # Always (re)set so a meshless Trainer clears a stale TP context.
+        from ..parallel.tp import set_tp
+        set_tp(mesh if getattr(cfg, "tp_guidance", True) else None)
         self.workspace = workspace or cfg.workspace
         self.renderer = build_renderer(cfg)
         self.optimizer = build_optimizer(cfg.optim, cfg.lr, cfg.iters,
@@ -173,13 +179,20 @@ class Trainer:
         cfg.fsdp_guidance the towers are ZeRO-3-sharded over the data axis
         (parallel/mesh.fsdp_shard_tree); SPMD inserts the all-gathers."""
         if not hasattr(self, "_gp_dev") or self._gp_dev is None:
+            gp = self.guidance_params
             if self.mesh is not None and getattr(self.cfg, "fsdp_guidance",
                                                  False):
                 from ..parallel.mesh import fsdp_shard_tree
-                self._gp_dev = fsdp_shard_tree(self.mesh,
-                                               self.guidance_params)
+                gp = fsdp_shard_tree(self.mesh, gp)
             else:
-                self._gp_dev = jax.device_put(self.guidance_params)
+                gp = jax.device_put(gp)
+            if self.mesh is not None and getattr(self.cfg, "tp_guidance",
+                                                 True):
+                # Megatron layout for the transformer blocks; re-puts only
+                # the TP-managed leaves (composes with the ZeRO pass above)
+                from ..parallel.tp import tp_shard_guidance
+                gp = tp_shard_guidance(self.mesh, gp)
+            self._gp_dev = gp
         return self._gp_dev
 
     # ------------------------------------------------------------------
@@ -301,6 +314,13 @@ class Trainer:
             B = batch.rays_o.shape[0]
             ro = batch.rays_o.reshape(-1, 3)
             rd = batch.rays_d.reshape(-1, 3)
+            if self.mesh is not None and getattr(cfg, "sp_rays", True):
+                # sequence-parallel rendering: flattened rays sharded over
+                # the whole mesh (field tables replicated, so march/field/
+                # composite run shard-local; SPMD psums the table grads)
+                from ..parallel.tp import shard_rays
+                ro = shard_rays(ro, self.mesh)
+                rd = shard_rays(rd, self.mesh)
             # light: gaussian jitter around camera origin (renderer.py:586)
             from ..core.math import safe_normalize
             light_d = safe_normalize(ro + choices.light_noise)
@@ -398,7 +418,11 @@ class Trainer:
             return new_state, metrics
 
         gp_dev = self._guidance_params_on_device()
-        return lambda state, key: train_step(state, key, gp_dev)
+        fn = lambda state, key: train_step(state, key, gp_dev)
+        # expose the jit + its bound guidance args for AOT lowering
+        # (scripts/probe_cache_fingerprint.py, scripts/warm_cache.py)
+        fn.jitted, fn.gp_dev = train_step, gp_dev
+        return fn
 
     # ------------------------------------------------------------------
     def _make_known_view_step(self):

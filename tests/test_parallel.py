@@ -100,6 +100,53 @@ def test_dp_loss_matches_single_device_semantics(tmp_path):
                       rtol=1e-4), (tr1.stats["loss"], tr2.stats["loss"])
 
 
+def test_tp_sp_2d_mesh_matches_single_device(tmp_path):
+    """dp×tp 2D mesh with Megatron guidance sharding + ray (sequence)
+    sharding: same math as the single-device run, to float tolerance.
+    Exercises parallel/tp.py end-to-end (param PartitionSpecs, head
+    constraint in ops/attention, ray constraint in the trainer)."""
+    from dreamfusion_tpu.parallel.tp import set_tp, tp_shard_guidance
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    g = StableDiffusionGuidance(SDConfig(tiny=True, image_size=16,
+                                         latent_size=8))
+    gparams = g.init_params(jax.random.PRNGKey(7))
+    emb = prepare_text_embeddings(g, gparams, "a hamburger")
+
+    # the Megatron layout actually shards the attention/FF kernels
+    sharded = tp_shard_guidance(mesh, gparams)
+    flat = jax.tree_util.tree_flatten_with_path(sharded)[0]
+    tp_leaves = [l for p, l in flat
+                 if any(getattr(k, "key", None) in ("to_q", "ff_out")
+                        for k in p)]
+    assert tp_leaves and any(not l.sharding.is_fully_replicated
+                             for l in tp_leaves)
+
+    base = dict(
+        text="a hamburger", backbone="vanilla", w=16, h=16, iters=1,
+        batch_size=8, dataset_size_train=1, latent_iter_ratio=0.0,
+        num_steps=12, upsample_steps=0, hidden_dim=16, num_layers=2,
+        hidden_dim_bg=8, num_layers_bg=2, fp16=False, eval_interval=-1,
+        seed=0, lambda_3d_normal_smooth=0.0)
+    cfg_tp = finalize(Config(workspace=str(tmp_path / "wtp"),
+                             fsdp_guidance=True, **base))
+    cfg_1 = finalize(Config(workspace=str(tmp_path / "w1"), **base))
+    try:
+        tr_tp = Trainer(cfg_tp, guidances={"SD": g},
+                        guidance_params={"SD": gparams},
+                        embeddings={"SD": emb}, mesh=mesh)
+        s_tp = tr_tp.init_state(jax.random.PRNGKey(0))
+        s_tp = tr_tp.train(s_tp, max_steps=1)
+    finally:
+        set_tp(None)
+    tr_1 = Trainer(cfg_1, guidances={"SD": g},
+                   guidance_params={"SD": gparams}, embeddings={"SD": emb})
+    s_1 = tr_1.init_state(jax.random.PRNGKey(0))
+    s_1 = tr_1.train(s_1, max_steps=1)
+    assert np.isclose(tr_tp.stats["loss"][-1], tr_1.stats["loss"][-1],
+                      rtol=1e-4), (tr_tp.stats["loss"], tr_1.stats["loss"])
+
+
 def test_fsdp_guidance_sharding_and_training(tmp_path):
     """ZeRO-3 guidance sharding: big tower leaves shard over the data axis,
     the step still runs and matches the replicated run's loss."""

@@ -87,6 +87,11 @@ def timestep_embedding(t: jax.Array, dim: int,
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
+# LayerNorm stats dtype — experiment knob (scripts/profile_norm_scan.py);
+# fp32 is the measured-safe default matching the reference stacks.
+_LN_DTYPE = jnp.float32
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm(32) computed in fp32 (matches the reference stacks).
     Falls back to fewer groups for tiny test channel counts."""
@@ -165,7 +170,7 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        ln = lambda name: nn.LayerNorm(dtype=jnp.float32, name=name)
+        ln = lambda name: nn.LayerNorm(dtype=_LN_DTYPE, name=name)
         x = x + CrossAttention(self.num_heads, self.head_dim,
                                dtype=self.dtype, name="attn1")(ln("norm1")(x).astype(self.dtype))
         x = x + CrossAttention(self.num_heads, self.head_dim,

@@ -142,7 +142,8 @@ class DMTetTrainer(Trainer):
         optimizer = self.optimizer
         H, W = cfg.h, cfg.w
 
-        def loss_fn(params, state: DMTetState, key: jax.Array, gparams):
+        def loss_fn(params, state: DMTetState, key: jax.Array, gparams,
+                    embs):
             k_batch, k_choice, k_guide = jax.random.split(key, 3)
             step = state.step
             r_exp = schedules.iter_ratio(step, cfg.exp_start_iter or 0,
@@ -166,7 +167,7 @@ class DMTetTrainer(Trainer):
             pred_rgb = out["image"]                       # [B, H, W, 3]
 
             loss = self._guidance_loss(gparams, k_guide, pred_rgb, batch,
-                                       as_latent=False)
+                                       as_latent=False, embeddings=embs)
             metrics = {"loss_sds": loss}
             # mesh regularizers (utils.py:715-721)
             if cfg.lambda_mesh_normal > 0:
@@ -179,9 +180,10 @@ class DMTetTrainer(Trainer):
             return loss, metrics
 
         @jax.jit
-        def train_step(state: DMTetState, key: jax.Array, gparams):
+        def train_step(state: DMTetState, key: jax.Array, gparams, embs):
             (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params, state, key, gparams)
+                loss_fn, has_aux=True)(state.params, state, key, gparams,
+                                       embs)
             if cfg.lock_geo:
                 grads = {**grads,
                          "geo": jax.tree.map(jnp.zeros_like, grads["geo"])}
@@ -198,7 +200,8 @@ class DMTetTrainer(Trainer):
             return new_state, metrics
 
         gp_dev = self._guidance_params_on_device()
-        return lambda state, key: train_step(state, key, gp_dev)
+        emb_dev = self._embeddings_on_device()
+        return lambda state, key: train_step(state, key, gp_dev, emb_dev)
 
     # ------------------------------------------------------------------
     def _make_known_view_step(self):

@@ -196,6 +196,18 @@ class Trainer:
         return self._gp_dev
 
     # ------------------------------------------------------------------
+    def _embeddings_on_device(self):
+        """Embedding pytree with array leaves uploaded once; python scalars
+        (zero123 ref-pose tuples) stay host-side.  Fed to jitted steps as an
+        argument — closing over them would bake the bits into the HLO and
+        (if they drift across processes) change the compile-cache key."""
+        if not hasattr(self, "_emb_dev") or self._emb_dev is None:
+            self._emb_dev = jax.tree.map(
+                lambda x: jax.device_put(x) if hasattr(x, "shape") else x,
+                self.embeddings)
+        return self._emb_dev
+
+    # ------------------------------------------------------------------
     def log(self, msg: str):
         print(msg, flush=True)
         with open(self.log_path, "a") as f:
@@ -237,13 +249,19 @@ class Trainer:
     # serialized program shipped to the TPU compile service.
     def _guidance_loss(self, gparams: Dict[str, Any], key: jax.Array,
                        pred_rgb: jax.Array,
-                       batch: CameraBatch, as_latent: bool) -> jax.Array:
+                       batch: CameraBatch, as_latent: bool,
+                       embeddings: Optional[Dict[str, Any]] = None) -> jax.Array:
+        # Embeddings default to the closure for ad-hoc callers, but the fused
+        # train step passes them as a jit ARGUMENT: closed-over embedding
+        # constants are baked into the HLO, and any bitwise drift across
+        # processes changes the compile-cache fingerprint (gotcha 12).
+        embeddings = self.embeddings if embeddings is None else embeddings
         cfg = self.cfg
         loss = jnp.zeros(())
         keys = jax.random.split(key, max(len(self.guidances), 1))
         for i, (name, g) in enumerate(sorted(self.guidances.items())):
             gp = gparams[name]
-            emb = self.embeddings[name]
+            emb = embeddings[name]
             if name in ("SD", "IF"):
                 B = pred_rgb.shape[0]
                 uncond = jnp.tile(emb["uncond"], (B, 1, 1))
@@ -294,7 +312,8 @@ class Trainer:
                                or cfg.lambda_normal > 0) and not latent_phase,
         )
 
-        def loss_fn(params, state: TrainState, key: jax.Array, gparams):
+        def loss_fn(params, state: TrainState, key: jax.Array, gparams,
+                    embs):
             k_batch, k_choice, k_render, k_guide, k_tv = jax.random.split(key, 5)
             step = state.step
             r_exp = schedules.iter_ratio(step, cfg.exp_start_iter or 0,
@@ -350,7 +369,8 @@ class Trainer:
                 pred_rgb = image
 
             loss = self._guidance_loss(gparams, k_guide, pred_rgb, batch,
-                                       as_latent=latent_phase)
+                                       as_latent=latent_phase,
+                                       embeddings=embs)
             metrics = {"loss_sds": loss}
 
             # regularizers (utils.py:687-713)
@@ -409,19 +429,21 @@ class Trainer:
             return loss, metrics
 
         @jax.jit
-        def train_step(state: TrainState, key: jax.Array, gparams):
+        def train_step(state: TrainState, key: jax.Array, gparams, embs):
             (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params, state, key, gparams)
+                loss_fn, has_aux=True)(state.params, state, key, gparams,
+                                       embs)
             new_state = apply_updates_guarded(self.optimizer, self.cfg,
                                               state, grads)
             metrics["grad_ok"] = jnp.isfinite(optax.global_norm(grads))
             return new_state, metrics
 
         gp_dev = self._guidance_params_on_device()
-        fn = lambda state, key: train_step(state, key, gp_dev)
+        emb_dev = self._embeddings_on_device()
+        fn = lambda state, key: train_step(state, key, gp_dev, emb_dev)
         # expose the jit + its bound guidance args for AOT lowering
         # (scripts/probe_cache_fingerprint.py, scripts/warm_cache.py)
-        fn.jitted, fn.gp_dev = train_step, gp_dev
+        fn.jitted, fn.gp_dev, fn.emb_dev = train_step, gp_dev, emb_dev
         return fn
 
     # ------------------------------------------------------------------

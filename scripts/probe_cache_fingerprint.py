@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--dump", default=None,
                     help="prefix to dump .stablehlo text to")
+    ap.add_argument("--full", action="store_true",
+                    help="bench.py flagship config (full SD 2.1, bf16 "
+                         "guidance, triplane 64²) instead of tiny")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -41,26 +44,41 @@ def main():
     from dreamfusion_tpu.guidance.sd import SDConfig, StableDiffusionGuidance
     from dreamfusion_tpu.training.trainer import Trainer
 
-    cfg = finalize(Config(
-        text="a hamburger", workspace="/tmp/dftpu_probe",
-        backbone="triplane", w=16, h=16, iters=4, batch_size=1,
-        triplane_resolution=32, triplane_channels=4,
-        latent_iter_ratio=0.0, grid_size=32, grid_coarse_steps=16,
-        grid_fine_steps=16, hidden_dim=16, num_layers=2, hidden_dim_bg=8,
-        num_layers_bg=2, seed=0, eval_interval=-1,
-        lambda_3d_normal_smooth=0.0,
-    ))
-    key = jax.random.PRNGKey(0)
-    g = StableDiffusionGuidance(SDConfig(tiny=True, image_size=16,
-                                         latent_size=8))
-    gp = g.init_params(key)
+    if args.full:
+        import jax.numpy as jnp
+        cfg = finalize(Config(
+            text="a highly detailed hamburger", workspace="/tmp/dftpu_probe",
+            backbone="triplane", w=64, h=64,
+            latent_iter_ratio=0.0, fp16=True, seed=0,
+            lambda_3d_normal_smooth=0.0,
+        ))
+        key = jax.random.PRNGKey(0)
+        g = StableDiffusionGuidance(SDConfig(sd_version="2.1"))
+        gp = g.init_params(key)
+        gp = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                          if x.dtype == jnp.float32 else x, gp)
+    else:
+        cfg = finalize(Config(
+            text="a hamburger", workspace="/tmp/dftpu_probe",
+            backbone="triplane", w=16, h=16, iters=4, batch_size=1,
+            triplane_resolution=32, triplane_channels=4,
+            latent_iter_ratio=0.0, grid_size=32, grid_coarse_steps=16,
+            grid_fine_steps=16, hidden_dim=16, num_layers=2, hidden_dim_bg=8,
+            num_layers_bg=2, seed=0, eval_interval=-1,
+            lambda_3d_normal_smooth=0.0,
+        ))
+        key = jax.random.PRNGKey(0)
+        g = StableDiffusionGuidance(SDConfig(tiny=True, image_size=16,
+                                             latent_size=8))
+        gp = g.init_params(key)
     emb = prepare_text_embeddings(g, gp, cfg.text)
     tr = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gp},
                  embeddings={"SD": emb})
     state = tr.init_state(key)
     step = tr._make_train_step("main")
 
-    lowered = step.jitted.lower(state, jax.random.PRNGKey(1), step.gp_dev)
+    lowered = step.jitted.lower(state, jax.random.PRNGKey(1), step.gp_dev,
+                                step.emb_dev)
     text = lowered.as_text()
     print(f"module text: {len(text)} chars, "
           f"sha256={hashlib.sha256(text.encode()).hexdigest()}")

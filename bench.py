@@ -43,7 +43,7 @@ BASELINE_IT_S = 10000.0 / (15.0 * 60.0)  # 11.11 it/s
 def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
               backbone: str = "grid", fine_steps: int = 0,
               coarse_steps: int = 0, triplane_scales: int = 0,
-              grid_hash: str = ""):
+              grid_hash: str = "", split_step: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -81,6 +81,8 @@ def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
             extra["triplane_scales"] = triplane_scales
         if grid_hash:
             extra["grid_hash"] = grid_hash
+        if split_step:
+            extra["split_step"] = True
         cfg = finalize(Config(
             text="a highly detailed hamburger", workspace="/tmp/dftpu_bench",
             backbone=backbone, w=render_hw, h=render_hw,
@@ -156,6 +158,8 @@ def main():
                     help="affine (default) | xor (tcnn-parity hashing)")
     ap.add_argument("--backbone", type=str, default="triplane",
                 help="triplane (TPU-first flagship) | grid | vanilla")
+    ap.add_argument("--split", action="store_true",
+                    help="bench the 3-program split step instead of fused")
     args = ap.parse_args()
 
     if args.smoke:
@@ -165,7 +169,8 @@ def main():
     it_s = run_bench(smoke=args.smoke, steps=args.steps, render_hw=args.hw,
                      backbone=args.backbone, fine_steps=args.fine,
                      coarse_steps=args.coarse,
-                     triplane_scales=args.scales, grid_hash=args.grid_hash)
+                     triplane_scales=args.scales, grid_hash=args.grid_hash,
+                     split_step=args.split)
     print(json.dumps({
         "metric": "sds_iterations_per_sec",
         "value": round(it_s, 3),

@@ -212,6 +212,11 @@ class Config:
                                   # 'model' mesh axis when one exists
     sp_rays: bool = True          # shard the flattened ray dim over the
                                   # whole mesh (sequence-parallel render)
+    split_step: bool = False      # 3 jitted programs (render fwd / guidance
+                                  # grad / render bwd+update) instead of the
+                                  # fused step: slower steady-state, but
+                                  # render-knob changes skip the big
+                                  # guidance cold compile
 
     # ---- precision ----
     compute_dtype: str = "bfloat16"   # activations in bf16, params fp32

@@ -34,3 +34,23 @@ def lerp(a, b, t):
 
 def uniform(key, shape=(), lo=0.0, hi=1.0, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype=dtype, minval=lo, maxval=hi)
+
+
+def clip_grad(x: jax.Array, limit: float) -> jax.Array:
+    """Identity whose COTANGENT is clamped elementwise to [-limit, limit]
+    (reference --grad_clip_rgb, nerf/utils.py:1052-1063 — a backward hook
+    on the rendered rgb that clips the guidance gradient entering the
+    renderer; bf16 end-to-end here, so no amp-scale factor)."""
+
+    @jax.custom_vjp
+    def _ident(v):
+        return v
+
+    def _fwd(v):
+        return v, None
+
+    def _bwd(_, g):
+        return (jnp.clip(g, -limit, limit),)
+
+    _ident.defvjp(_fwd, _bwd)
+    return _ident(x)

@@ -87,9 +87,10 @@ def timestep_embedding(t: jax.Array, dim: int,
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
-# LayerNorm stats dtype — experiment knob (scripts/profile_norm_scan.py);
+# Norm stats dtypes — experiment knobs (scripts/profile_norm_scan.py);
 # fp32 is the measured-safe default matching the reference stacks.
 _LN_DTYPE = jnp.float32
+_GN_DTYPE = jnp.float32
 
 
 class GroupNorm32(nn.Module):
@@ -103,8 +104,8 @@ class GroupNorm32(nn.Module):
         g = 32
         while x.shape[-1] % g:
             g //= 2
-        x = nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=jnp.float32)(
-            x.astype(jnp.float32))
+        x = nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=_GN_DTYPE)(
+            x.astype(_GN_DTYPE))
         return x.astype(orig)
 
 

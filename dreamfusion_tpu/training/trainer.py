@@ -40,6 +40,7 @@ from ..models.nerf import SHADING_IDS, SHADING_NORMAL
 from ..models.renderer import NeRFRenderer, RenderFlags
 from ..ops.hashgrid import hashgrid_tv_loss, hashgrid_wd_loss
 from ..ops.occupancy import update_density_grid
+from ..core.math import clip_grad
 from ..utils.image import colorize_depth, save_image, save_video
 from . import schedules
 from .data import CameraBatch, circle_view_batch, sample_train_batch, six_view_batch
@@ -257,6 +258,10 @@ class Trainer:
         # processes changes the compile-cache fingerprint (gotcha 12).
         embeddings = self.embeddings if embeddings is None else embeddings
         cfg = self.cfg
+        if cfg.grad_clip_rgb >= 0:
+            # reference --grad_clip_rgb: elementwise clamp of the gradient
+            # entering the rendered rgb (backward hook, utils.py:1052-1063)
+            pred_rgb = clip_grad(pred_rgb, cfg.grad_clip_rgb)
         loss = jnp.zeros(())
         keys = jax.random.split(key, max(len(self.guidances), 1))
         for i, (name, g) in enumerate(sorted(self.guidances.items())):
@@ -296,7 +301,21 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _make_train_step(self, phase: str):
-        """phase: 'latent' (normal-as-latent warmup) or 'main'."""
+        """phase: 'latent' (normal-as-latent warmup) or 'main'.
+
+        With cfg.split_step=False (default) the whole step — render,
+        guidance, backward, Adan, EMA — is ONE jitted program (fastest
+        steady-state; the whole point of the fused design).  With
+        cfg.split_step=True it becomes THREE programs (render forward →
+        guidance d loss/d image → render backward + update): the guidance
+        program's HLO only depends on the image size, so changing any
+        render knob (backbone, sample budgets, resolution) re-pays only
+        the small render compiles instead of the full fused cold compile.
+        The SDS gradient crosses the program boundary as an explicit
+        image cotangent; render forward is recomputed in the backward
+        program (cheaper than materializing residuals across programs).
+        Both modes share the exact same math and rng — tested equal in
+        tests/test_training.py."""
         cfg = self.cfg
         renderer = self.renderer
         optimizer = self.optimizer
@@ -312,13 +331,9 @@ class Trainer:
                                or cfg.lambda_normal > 0) and not latent_phase,
         )
 
-        def loss_fn(params, state: TrainState, key: jax.Array, gparams,
-                    embs):
-            k_batch, k_choice, k_render, k_guide, k_tv = jax.random.split(key, 5)
-            step = state.step
+        def make_batch(k_batch, step):
             r_exp = schedules.iter_ratio(step, cfg.exp_start_iter or 0,
                                          cfg.exp_end_iter or cfg.iters)
-
             if cfg.progressive_view:
                 rr, tr, pr, fr = schedules.progressive_view_ranges(cfg, r_exp)
             else:
@@ -327,6 +342,14 @@ class Trainer:
             if self.mesh is not None:
                 from ..parallel.mesh import shard_batch
                 batch = shard_batch(self.mesh, batch)
+            return batch, r_exp
+
+        def render_part(params, state: TrainState, key: jax.Array):
+            """Render + every non-guidance loss term.  Returns
+            (pred_rgb, reg_loss, batch, metrics)."""
+            k_batch, k_choice, k_render, k_guide, k_tv = jax.random.split(key, 5)
+            step = state.step
+            batch, r_exp = make_batch(k_batch, step)
             choices = schedules.sample_step_choices(cfg, k_choice, r_exp)
             max_level = schedules.encoder_max_level(cfg, r_exp)
 
@@ -368,12 +391,8 @@ class Trainer:
             else:
                 pred_rgb = image
 
-            loss = self._guidance_loss(gparams, k_guide, pred_rgb, batch,
-                                       as_latent=latent_phase,
-                                       embeddings=embs)
-            metrics = {"loss_sds": loss}
-
             # regularizers (utils.py:687-713)
+            loss = jnp.zeros(())
             if cfg.lambda_opacity > 0:
                 loss = loss + cfg.lambda_opacity * jnp.mean(wsum ** 2)
             if cfg.lambda_entropy > 0:
@@ -425,25 +444,89 @@ class Trainer:
                 loss = loss + cfg.lambda_wd * hashgrid_wd_loss(
                     params["field"]["grid_table"], spec)
 
-            metrics["loss"] = loss
-            return loss, metrics
+            return pred_rgb, loss, batch, {"loss_reg": loss}
 
-        @jax.jit
-        def train_step(state: TrainState, key: jax.Array, gparams, embs):
-            (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params, state, key, gparams,
-                                       embs)
-            new_state = apply_updates_guarded(self.optimizer, self.cfg,
-                                              state, grads)
-            metrics["grad_ok"] = jnp.isfinite(optax.global_norm(grads))
-            return new_state, metrics
+        def guidance_part(gparams, embs, key, pred_rgb, batch):
+            k_guide = jax.random.split(key, 5)[3]
+            return self._guidance_loss(gparams, k_guide, pred_rgb, batch,
+                                       as_latent=latent_phase,
+                                       embeddings=embs)
 
         gp_dev = self._guidance_params_on_device()
         emb_dev = self._embeddings_on_device()
-        fn = lambda state, key: train_step(state, key, gp_dev, emb_dev)
-        # expose the jit + its bound guidance args for AOT lowering
-        # (scripts/probe_cache_fingerprint.py, scripts/warm_cache.py)
-        fn.jitted, fn.gp_dev, fn.emb_dev = train_step, gp_dev, emb_dev
+
+        if not cfg.split_step:
+            def loss_fn(params, state: TrainState, key: jax.Array, gparams,
+                        embs):
+                pred_rgb, reg_loss, batch, metrics = render_part(
+                    params, state, key)
+                sds = guidance_part(gparams, embs, key, pred_rgb, batch)
+                loss = sds + reg_loss
+                metrics = {**metrics, "loss_sds": sds, "loss": loss}
+                return loss, metrics
+
+            @jax.jit
+            def train_step(state: TrainState, key: jax.Array, gparams, embs):
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, state, key, gparams,
+                                           embs)
+                new_state = apply_updates_guarded(self.optimizer, self.cfg,
+                                                  state, grads)
+                metrics["grad_ok"] = jnp.isfinite(optax.global_norm(grads))
+                return new_state, metrics
+
+            fn = lambda state, key: train_step(state, key, gp_dev, emb_dev)
+            # expose the jit + its bound guidance args for AOT lowering
+            # (scripts/probe_cache_fingerprint.py, scripts/warm_cache.py)
+            fn.jitted, fn.gp_dev, fn.emb_dev = train_step, gp_dev, emb_dev
+            return fn
+
+        # ---- split-step: three programs (see docstring) -----------------
+        @jax.jit
+        def render_fwd(state: TrainState, key: jax.Array):
+            pred_rgb, _, _, _ = render_part(state.params, state, key)
+            return pred_rgb
+
+        @jax.jit
+        def guidance_grad(gparams, embs, step, key, pred_rgb):
+            # rebuild the batch the render program drew (same k_batch);
+            # only the camera scalars feed the guidance (view-dependent
+            # prompting / zero123 deltas), not the rays
+            k_batch = jax.random.split(key, 5)[0]
+            batch, _ = make_batch(k_batch, step)
+            sds, cot = jax.value_and_grad(
+                lambda img: guidance_part(gparams, embs, key, img, batch)
+            )(pred_rgb)
+            return sds, cot
+
+        @jax.jit
+        def render_bwd_update(state: TrainState, key: jax.Array, sds, cot):
+            def pseudo_loss(params):
+                # <pred_rgb, cot> has exactly the SDS loss's param gradient;
+                # the render forward is recomputed here (cheaper than
+                # shipping residuals across program boundaries)
+                pred_rgb, reg_loss, _, metrics = render_part(
+                    params, state, key)
+                lin = jnp.sum(pred_rgb.astype(jnp.float32)
+                              * jax.lax.stop_gradient(cot.astype(jnp.float32)))
+                return reg_loss + lin, metrics
+            (_, metrics), grads = jax.value_and_grad(
+                pseudo_loss, has_aux=True)(state.params)
+            new_state = apply_updates_guarded(self.optimizer, self.cfg,
+                                              state, grads)
+            metrics = {**metrics, "loss_sds": sds,
+                       "loss": sds + metrics["loss_reg"],
+                       "grad_ok": jnp.isfinite(optax.global_norm(grads))}
+            return new_state, metrics
+
+        def fn(state, key):
+            pred_rgb = render_fwd(state, key)
+            sds, cot = guidance_grad(gp_dev, emb_dev, state.step, key,
+                                     pred_rgb)
+            return render_bwd_update(state, key, sds, cot)
+        fn.render_fwd, fn.guidance_grad = render_fwd, guidance_grad
+        fn.render_bwd_update = render_bwd_update
+        fn.gp_dev, fn.emb_dev = gp_dev, emb_dev
         return fn
 
     # ------------------------------------------------------------------
@@ -502,6 +585,10 @@ class Trainer:
                 method=renderer.render)
 
             pred = out["image"].reshape(Hs, Ws, 3)
+            if cfg.grad_clip_rgb >= 0:
+                # reference clips every grad entering the rendered rgb,
+                # known-view steps included (utils.py:1052-1063)
+                pred = clip_grad(pred, cfg.grad_clip_rgb)
             pred_mask = out["weights_sum"].reshape(Hs, Ws)
             m = gt_mask[sel].astype(jnp.float32)
             gt = gt_rgb[sel] * m[..., None] + \

@@ -79,17 +79,8 @@ def main():
     img0 = jax.random.uniform(jax.random.PRNGKey(1), (B, H, W, 3))
     args = (gp, img0, emb["default"], emb["uncond"])
 
-    orig_gn_call = unet_mod.GroupNorm32.__call__
-
-    def gn_bf16(self, x):
-        gcount = 32
-        while x.shape[-1] % gcount:
-            gcount //= 2
-        return nn.GroupNorm(num_groups=gcount, epsilon=1e-5,
-                            dtype=x.dtype)(x)
-
     def set_variant(v):
-        unet_mod.GroupNorm32.__call__ = orig_gn_call if v == "A" else gn_bf16
+        unet_mod._GN_DTYPE = (jnp.float32 if v == "A" else jnp.bfloat16)
         unet_mod._LN_DTYPE = (jnp.float32 if v in ("A", "B")
                               else jnp.bfloat16)
 

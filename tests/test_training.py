@@ -1,6 +1,7 @@
 """Training-layer tests: Adan vs numpy oracle, end-to-end tiny train loop."""
 
 import os
+from dataclasses import replace
 
 import jax
 import jax.numpy as jnp
@@ -230,3 +231,66 @@ def test_best_checkpoint_keeps_best_by_metric(tmp_path, tiny_guidance):
     np.testing.assert_allclose(
         np.asarray(jax.tree_util.tree_leaves(restored2.ema_params)[0]),
         np.asarray(jax.tree_util.tree_leaves(state_b.ema_params)[0]))
+
+
+def test_split_step_matches_fused(tmp_path, tiny_guidance):
+    """cfg.split_step builds 3 programs whose composed update must equal
+    the fused step's (same math, same rng) — both phases."""
+    g, gparams, emb = tiny_guidance
+    cfg_f = tiny_config(tmp_path, backbone="vanilla", workspace=str(
+        tmp_path / "wsf"), lambda_opacity=1e-3)
+    cfg_s = replace(cfg_f, split_step=True, workspace=str(tmp_path / "wss"))
+
+    tr_f = Trainer(cfg_f, guidances={"SD": g},
+                   guidance_params={"SD": gparams}, embeddings={"SD": emb})
+    tr_s = Trainer(cfg_s, guidances={"SD": g},
+                   guidance_params={"SD": gparams}, embeddings={"SD": emb})
+    state_f = tr_f.init_state(jax.random.PRNGKey(0))
+    state_s = tr_s.init_state(jax.random.PRNGKey(0))
+
+    for phase in ("main", "latent"):
+        step_f = tr_f._make_train_step(phase)
+        step_s = tr_s._make_train_step(phase)
+        key = jax.random.PRNGKey(42)
+        nf, mf = step_f(state_f, key)
+        ns, ms = step_s(state_s, key)
+        np.testing.assert_allclose(float(mf["loss"]), float(ms["loss"]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(mf["loss_sds"]),
+                                   float(ms["loss_sds"]), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(nf.params),
+                        jax.tree_util.tree_leaves(ns.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-6)
+
+
+def test_grad_clip_rgb_bounds_image_gradient(tmp_path, tiny_guidance):
+    """--grad_clip_rgb clamps d(SDS)/d(rgb) elementwise
+    (reference backward hook, utils.py:1052-1063)."""
+    g, gparams, emb = tiny_guidance
+    limit = 1e-7  # tiny limit so the clamp provably bites
+    cfg = tiny_config(tmp_path, backbone="vanilla", grad_clip_rgb=limit)
+    tr = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gparams},
+                 embeddings={"SD": emb})
+    from dreamfusion_tpu.training.data import sample_train_batch
+    batch = sample_train_batch(jax.random.PRNGKey(1), cfg, cfg.h, cfg.w,
+                               None, None, None, None)
+    img = jax.random.uniform(jax.random.PRNGKey(2),
+                             (1, cfg.h, cfg.w, 3))
+
+    def sds(img):
+        return tr._guidance_loss({"SD": gparams}, jax.random.PRNGKey(3),
+                                 img, batch, as_latent=False)
+
+    cot = jax.grad(sds)(img)
+    assert float(jnp.abs(cot).max()) <= limit + 1e-12
+    # ... and the clamp actually bit (unclipped grad exceeds the limit)
+    cfg2 = replace(cfg, grad_clip_rgb=-1.0)
+    tr2 = Trainer(cfg2, guidances={"SD": g}, guidance_params={"SD": gparams},
+                  embeddings={"SD": emb})
+
+    def sds2(img):
+        return tr2._guidance_loss({"SD": gparams}, jax.random.PRNGKey(3),
+                                  img, batch, as_latent=False)
+
+    assert float(jnp.abs(jax.grad(sds2)(img)).max()) > limit

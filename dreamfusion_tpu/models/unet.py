@@ -91,6 +91,87 @@ def timestep_embedding(t: jax.Array, dim: int,
 # fp32 is the measured-safe default matching the reference stacks.
 _LN_DTYPE = jnp.float32
 _GN_DTYPE = jnp.float32
+# True routes GroupNorm32 through the custom_vjp fused backward below;
+# False through flax's nn.GroupNorm (autodiff) — A/B in
+# scripts/profile_vae_matrix.py
+_GN_FUSED = False
+
+
+def group_norm_fused(x, scale, bias, num_groups: int, eps: float,
+                     stats_dtype=jnp.float32):
+    """GroupNorm with a hand-derived custom_vjp backward.
+
+    XLA's autodiff of the fp32 stats chain lowers pathologically on this
+    backend: a synthetic VAE-encoder conv stack costs 6.5 ms forward and
+    ~0 extra backward, but +fp32 GroupNorm/SiLU glue adds ~44 ms of
+    BACKWARD (scripts/profile_vae_bisect.py) — ~12x the tensor traffic
+    the GN backward formula needs.  This implementation computes the
+    standard closed-form backward (two group reductions + elementwise):
+        dx = (1/sigma) * (dxh - mean_g(dxh) - xh * mean_g(dxh * xh))
+    Forward numerics match flax nn.GroupNorm to float tolerance
+    (oracle tests in tests/test_norm.py).
+    Channels are grouped contiguously (flax/ldm convention); reductions
+    run over (spatial..., channels-within-group) in `stats_dtype`.
+    """
+    orig_shape = x.shape
+    C = orig_shape[-1]
+    G = num_groups
+    # on the (..., G, C//G)-reshaped array: reduce spatial dims + the
+    # within-group axis, keep batch and group axes (flax semantics)
+    red_axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+
+    @jax.custom_vjp
+    def f(x, scale, bias):
+        xg = x.astype(stats_dtype).reshape(*orig_shape[:-1], G, C // G)
+        mu = jnp.mean(xg, axis=red_axes, keepdims=True)
+        var = jnp.mean(jnp.square(xg - mu), axis=red_axes, keepdims=True)
+        xh = (xg - mu) * jax.lax.rsqrt(var + eps)
+        y = xh.reshape(orig_shape) * scale.astype(stats_dtype) \
+            + bias.astype(stats_dtype)
+        return y
+
+    def f_fwd(x, scale, bias):
+        xg = x.astype(stats_dtype).reshape(*orig_shape[:-1], G, C // G)
+        mu = jnp.mean(xg, axis=red_axes, keepdims=True)
+        var = jnp.mean(jnp.square(xg - mu), axis=red_axes, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        xh = (xg - mu) * rstd
+        y = xh.reshape(orig_shape) * scale.astype(stats_dtype) \
+            + bias.astype(stats_dtype)
+        return y, (xh, rstd, scale)
+
+    def f_bwd(res, dy):
+        xh, rstd, scale = res
+        dyf = dy.astype(stats_dtype)
+        # affine grads (DCE'd when the params are frozen jit arguments)
+        sum_axes = tuple(range(dy.ndim - 1))
+        dbias = jnp.sum(dyf, axis=sum_axes)
+        dscale = jnp.sum(dyf * xh.reshape(orig_shape), axis=sum_axes)
+        dxh = (dyf * scale.astype(stats_dtype)).reshape(xh.shape)
+        m1 = jnp.mean(dxh, axis=red_axes, keepdims=True)
+        m2 = jnp.mean(dxh * xh, axis=red_axes, keepdims=True)
+        dx = (rstd * (dxh - m1 - xh * m2)).reshape(orig_shape)
+        return (dx.astype(x.dtype), dscale.astype(scale.dtype),
+                dbias.astype(bias.dtype))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(x, scale, bias)
+
+
+class _FusedGroupNorm(nn.Module):
+    """nn.GroupNorm-compatible module (same param names/shapes) backed by
+    group_norm_fused; instantiated with name='GroupNorm_0' so parameter
+    trees and checkpoint converters are unchanged."""
+    num_groups: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        return group_norm_fused(x, scale, bias, self.num_groups,
+                                self.epsilon, stats_dtype=_GN_DTYPE)
 
 
 class GroupNorm32(nn.Module):
@@ -104,9 +185,12 @@ class GroupNorm32(nn.Module):
         g = 32
         while x.shape[-1] % g:
             g //= 2
-        x = nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=_GN_DTYPE)(
-            x.astype(_GN_DTYPE))
-        return x.astype(orig)
+        if _GN_FUSED:
+            y = _FusedGroupNorm(num_groups=g, name="GroupNorm_0")(x)
+        else:
+            y = nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=_GN_DTYPE)(
+                x.astype(_GN_DTYPE))
+        return y.astype(orig)
 
 
 class ResnetBlock(nn.Module):

@@ -85,16 +85,64 @@ def mm_conv(x: jax.Array, kernel: jax.Array,
         # scripts/profile_conv2.py); XLA's conv emitter wins there.  Below
         # the threshold the einsum path is faster (64²×320: 0.13 vs
         # 0.15 ms; 128²×512 fwd+bwd: 1.53 vs 1.85 ms).
-        # f32 output to match the einsum branches' contract.  NOT via
-        # preferred_element_type: that makes the primal output f32 while the
-        # transpose (grad) conv then mixes an f32 cotangent with bf16 inputs
-        # and lax rejects the dtype mismatch.  The MXU accumulates bf16
-        # convs in f32 internally, so casting the result is equivalent.
-        out = jax.lax.conv_general_dilated(
-            x, kernel, (sh, sw), ((pt, pb), (pl, pr)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return out.astype(jnp.float32)
+        # The emitter's *transpose* (grad) convs are a different story —
+        # measured in scripts/profile_vae_bwd.py — so the backward runs
+        # through the einsum path's adjoint when _EMITTER_BWD is False.
+        if _EMITTER_BWD:
+            return _emitter_conv(x, kernel, (sh, sw),
+                                 ((pt, pb), (pl, pr)))
 
+        @jax.custom_vjp
+        def f(x, kernel):
+            return _emitter_conv(x, kernel, (sh, sw), ((pt, pb), (pl, pr)))
+
+        def f_fwd(x, kernel):
+            return f(x, kernel), (x, kernel)
+
+        def f_bwd(res, g):
+            # the conv is bilinear: transpose each linear factor directly
+            # (jax.linear_transpose evaluates only the adjoint — no wasted
+            # primal recompute like jax.vjp would do).  The strided-slice
+            # adjoints lower to dense pad+add, and the einsum adjoints to
+            # plain matmuls; the unused dk is DCE'd for frozen guidance.
+            xr, kr = res
+            dx = jax.linear_transpose(
+                lambda xx: _einsum_conv(xx, kr, (sh, sw),
+                                        ((pt, pb), (pl, pr))), xr)(g)[0]
+            dk = jax.linear_transpose(
+                lambda kk: _einsum_conv(xr, kk, (sh, sw),
+                                        ((pt, pb), (pl, pr))), kr)(g)[0]
+            return dx, dk
+
+        f.defvjp(f_fwd, f_bwd)
+        return f(x, kernel)
+
+    return _einsum_conv(x, kernel, (sh, sw), ((pt, pb), (pl, pr)))
+
+
+# backward path of the >= _LAX_CONV_MIN_PIXELS branch: True (default)
+# uses XLA's conv-transpose emitters, False routes the grad through the
+# einsum adjoint (dense shifted matmuls) — A/B in scripts/profile_vae_matrix.py
+_EMITTER_BWD = True
+
+
+def _emitter_conv(x, kernel, strides, pads):
+    # f32 output to match the einsum branches' contract.  NOT via
+    # preferred_element_type: that makes the primal output f32 while the
+    # transpose (grad) conv then mixes an f32 cotangent with bf16 inputs
+    # and lax rejects the dtype mismatch.  The MXU accumulates bf16
+    # convs in f32 internally, so casting the result is equivalent.
+    out = jax.lax.conv_general_dilated(
+        x, kernel, strides, pads,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out.astype(jnp.float32)
+
+
+def _einsum_conv(x, kernel, strides, pads):
+    B, H, W, C = x.shape
+    kh, kw, _, O = kernel.shape
+    sh, sw = strides
+    (pt, pb), (pl, pr) = pads
     xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
     Ho = (H + pt + pb - kh) // sh + 1
     Wo = (W + pl + pr - kw) // sw + 1

@@ -148,3 +148,43 @@ def test_large_spatial_bf16_grad_and_f32_output():
                  argnums=(0, 1))(x, k)
     assert all(np.isfinite(np.asarray(gi, dtype=np.float32)).all()
                for gi in g)
+
+
+@pytest.mark.parametrize("stride,dtype", [(1, jnp.float32),
+                                          (2, jnp.float32),
+                                          (1, jnp.bfloat16),
+                                          (2, jnp.bfloat16)])
+def test_hybrid_emitter_fwd_einsum_bwd_grads_match_lax(stride, dtype):
+    """The >=256^2 branch's custom backward (einsum adjoint via
+    linear_transpose) must equal lax.conv autodiff for input AND kernel
+    grads — stride-1 and the VAE stride-2 downsample alike."""
+    from dreamfusion_tpu.ops import conv as conv_mod
+    old = conv_mod._LAX_CONV_MIN_PIXELS
+    conv_mod._LAX_CONV_MIN_PIXELS = 8 * 8  # tiny sizes take the branch
+    try:
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((2, 12, 12, 4)), dtype)
+        w = jnp.asarray(rng.standard_normal((3, 3, 4, 5)) * 0.1, dtype)
+        pad = ((1, 1), (1, 1)) if stride == 1 else ((0, 1), (0, 1))
+
+        def loss_ours(x_, w_):
+            return jnp.sum(conv_mod.mm_conv(x_, w_, (stride, stride),
+                                            pad) ** 2)
+
+        def loss_lax(x_, w_):
+            out = lax_conv(x_.astype(jnp.float32), w_.astype(jnp.float32),
+                           (stride, stride), pad)
+            return jnp.sum(out ** 2)
+
+        gx, gw = jax.grad(loss_ours, argnums=(0, 1))(x, w)
+        rx, rw = jax.grad(loss_lax, argnums=(0, 1))(x, w)
+        tol = 2e-5 if dtype == jnp.float32 else 5e-2
+        np.testing.assert_allclose(np.asarray(gx, np.float32),
+                                   np.asarray(rx, np.float32),
+                                   rtol=tol, atol=tol)
+        np.testing.assert_allclose(np.asarray(gw, np.float32),
+                                   np.asarray(rw, np.float32),
+                                   rtol=tol, atol=tol)
+        assert gx.dtype == x.dtype and gw.dtype == w.dtype
+    finally:
+        conv_mod._LAX_CONV_MIN_PIXELS = old

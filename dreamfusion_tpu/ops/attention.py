@@ -86,18 +86,26 @@ def dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def attention(q: jax.Array, k: jax.Array, v: jax.Array,
-              chunk_threshold: int = 2048, chunk: int = 512) -> jax.Array:
-    """Dispatch per measured winners (scripts/profile_attn.py on the
-    attached TPU): chunked online-softmax for long sequences (0.48 ms vs
-    1.7-4.5 ms alternatives at N=4096), dense einsum attention for short
-    ones (incl. the 77-token cross-attention).
+              logits_threshold: int = 64 * 1024 * 1024,
+              chunk: int = 512) -> jax.Array:
+    """Dispatch per measured winners (scripts/profile_attn.py,
+    scripts/profile_attn_bwd.py on the attached TPU).  The criterion is
+    the full logits tensor size B·h·N·M, not the sequence length:
+
+      * UNet self-attention [2, 4096, 8, 40]: logits 268M elements —
+        chunked online-softmax wins (0.48 ms vs 1.7-4.5 ms alternatives).
+      * VAE mid-block [1, 4096, 1, 512]: logits only 16.8M — DENSE wins
+        4-7x (fwd 0.06 vs 0.25 ms, fwd+bwd 0.18 vs 1.03 ms); the chunked
+        scan's overhead dominates when the logits fit comfortably in HBM.
+      * 77-token cross-attention: dense.
 
     Under an active tensor-parallel context (parallel/tp.set_tp) the head
     dimension is constrained to the model mesh axis, so each device
     computes its own heads shard-locally (Megatron attention)."""
     from ..parallel.tp import shard_heads
     q, k, v = shard_heads(q), shard_heads(k), shard_heads(v)
+    B, N, h, _ = q.shape
     M = k.shape[1]
-    if M >= chunk_threshold and M % chunk == 0:
+    if B * h * N * M > logits_threshold and M % chunk == 0:
         return chunked_attention(q, k, v, chunk=chunk)
     return dense_attention(q, k, v)

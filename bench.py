@@ -128,7 +128,10 @@ def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
     note(f"train step compiled+ran in {_t.time()-t:.1f}s")
 
     # best of 3 timed repeats: the remote-dispatch tunnel adds run-to-run
-    # jitter of ~10% on a 20-step block; max-of-3 reads the true step rate
+    # jitter of ~10% on a 20-step block; max-of-3 reads the true step rate.
+    # float() — NOT block_until_ready — forces the chain: on this backend
+    # block_until_ready can return early on chained multi-program futures
+    # (measured 0.04 s "wait" for 131 s of real work, CLAUDE.md gotcha 7)
     it_s = 0.0
     for rep in range(3):
         t0 = time.time()
@@ -138,7 +141,7 @@ def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
                     state, jax.random.PRNGKey(100 + 1000 * rep + i))
             state, metrics = step_fn(
                 state, jax.random.PRNGKey(200 + 1000 * rep + i))
-        jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])
         dt = time.time() - t0
         note(f"repeat {rep}: {steps / dt:.3f} it/s")
         it_s = max(it_s, steps / dt)

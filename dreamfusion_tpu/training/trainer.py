@@ -757,7 +757,8 @@ class Trainer:
                         self.epoch > 0 and \
                         self.epoch % max(cfg.save_guidance_interval, 1) == 0:
                     self.save_guidance_snapshot(state)
-                self.save_checkpoint(state)
+                self.save_checkpoint(state, async_=True)
+        self.join_pending_saves()
         return state
 
     # ------------------------------------------------------------------
@@ -906,14 +907,18 @@ class Trainer:
         return os.path.join(self.workspace, "checkpoints")
 
     def save_checkpoint(self, state: TrainState, full: bool = True,
-                        metric: Optional[float] = None):
+                        metric: Optional[float] = None,
+                        async_: bool = False):
         """full=True: rolling train-state checkpoint; full=False: the
         best-model equivalent of the reference's `df.pth` — EMA weights
         only, kept best-by-eval-metric (utils.py:1236-1264): when a metric
         (higher-better) is supplied, the df snapshot is only overwritten on
         improvement; with no metric (text-only SDS, where the reference's
-        metrics list is likewise empty) every eval overwrites it."""
+        metrics list is likewise empty) every eval overwrites it.
+        async_ (full saves only): run the save in a background thread so
+        the device→host copy overlaps training."""
         import orbax.checkpoint as ocp
+        self.join_pending_saves()
         ckptr = ocp.StandardCheckpointer()
         if not full:
             if metric is not None:
@@ -934,24 +939,50 @@ class Trainer:
             return
         path = os.path.join(self._ckpt_dir(), f"df_ep{self.epoch:04d}")
         payload = flax.serialization.to_state_dict(state)
-        ckptr.save(os.path.abspath(path), payload, force=True)
-        ckptr.wait_until_finished()
-        with open(path + ".meta.json", "w") as f:
-            json.dump({"global_step": self.global_step, "epoch": self.epoch,
-                       "stats": {"loss": self.stats["loss"][-5:]}}, f)
-        # re-saving the same epoch must not register a duplicate entry —
-        # retention would otherwise delete the path it just wrote
-        if path in self.stats["checkpoints"]:
-            self.stats["checkpoints"].remove(path)
-        self.stats["checkpoints"].append(path)
-        # rolling retention (utils.py:1231-1235)
-        while len(self.stats["checkpoints"]) > self.cfg.max_keep_ckpt:
-            old = self.stats["checkpoints"].pop(0)
-            import shutil
-            if os.path.exists(old):
-                shutil.rmtree(old, ignore_errors=True)
-            if os.path.exists(old + ".meta.json"):
-                os.remove(old + ".meta.json")
+        meta = {"global_step": self.global_step, "epoch": self.epoch,
+                "stats": {"loss": self.stats["loss"][-5:]}}
+
+        def do_save():
+            ckptr.save(os.path.abspath(path), payload, force=True)
+            ckptr.wait_until_finished()
+            with open(path + ".meta.json", "w") as f:
+                json.dump(meta, f)
+            # re-saving the same epoch must not register a duplicate entry —
+            # retention would otherwise delete the path it just wrote
+            if path in self.stats["checkpoints"]:
+                self.stats["checkpoints"].remove(path)
+            self.stats["checkpoints"].append(path)
+            # rolling retention (utils.py:1231-1235)
+            while len(self.stats["checkpoints"]) > self.cfg.max_keep_ckpt:
+                old = self.stats["checkpoints"].pop(0)
+                import shutil
+                if os.path.exists(old):
+                    shutil.rmtree(old, ignore_errors=True)
+                if os.path.exists(old + ".meta.json"):
+                    os.remove(old + ".meta.json")
+
+        if async_:
+            # Overlap the D2H copy + disk write with training: the rolling
+            # save between epochs costs ~2.4 s synchronously through the
+            # remote-device tunnel (measured as the 11.6 -> 9.1 it/s gap at
+            # 100-step epochs).  jax arrays are immutable and the step fns
+            # don't donate buffers, so a background thread can serialize
+            # `state` while the main loop keeps dispatching steps; the next
+            # save (or train-loop exit) joins the previous one first.
+            import threading
+            t = threading.Thread(target=do_save, daemon=False)
+            self._save_thread = t
+            t.start()
+        else:
+            do_save()
+
+    # ------------------------------------------------------------------
+    def join_pending_saves(self):
+        """Block until a pending async rolling checkpoint finishes."""
+        t = getattr(self, "_save_thread", None)
+        if t is not None:
+            t.join()
+            self._save_thread = None
 
     def load_checkpoint(self, state_template: TrainState,
                         ckpt: str = "latest") -> Tuple[TrainState, bool]:

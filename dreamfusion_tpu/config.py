@@ -153,6 +153,11 @@ class Config:
     default_polar: float = 90.0
     default_azimuth: float = 0.0
     default_fovy: float = 20.0
+    # GUI light direction (spherical degrees; reference main.py:122-123
+    # --light_theta/--light_phi feed the DearPyGui lambertian preview — here
+    # they drive viewer.py's non-albedo shading light).
+    light_theta: float = 60.0
+    light_phi: float = 0.0
     progressive_view: bool = False
     progressive_view_init_ratio: float = 0.2
     progressive_level: bool = False

@@ -60,6 +60,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace of the first training "
                         "epoch under workspace/profile")
 
+    # reference-CLI compatibility (main.py:96-124): --cuda_ray/--taichi_ray
+    # selected a raymarching backend there; the occupancy renderer here IS
+    # the TPU equivalent and is always available, so these are accepted
+    # no-ops. --max_spp bounded the GUI's progressive accumulation; our
+    # viewer renders a full static sample budget per frame. --radius/--fovy
+    # map onto the default_* camera fields.
+    p.add_argument("--cuda_ray", action="store_true",
+                   help="compat no-op (occupancy marching is built in)")
+    p.add_argument("--taichi_ray", action="store_true",
+                   help="compat no-op (occupancy marching is built in)")
+    p.add_argument("--max_spp", type=int, default=None,
+                   help="compat no-op (static per-frame sample budget)")
+    p.add_argument("--radius", type=float, default=None,
+                   help="alias for --default_radius (reference main.py:119)")
+    p.add_argument("--fovy", type=float, default=None,
+                   help="alias for --default_fovy (reference main.py:121)")
+
     # all scalar/tuple config fields become flags automatically
     skip = {"text", "negative", "guidance", "test", "six_views", "save_mesh",
             "image", "image_config", "dmtet", "init_with", "lock_geo",
@@ -93,6 +110,10 @@ def config_from_args(args: argparse.Namespace) -> Config:
             if isinstance(getattr(cfg, f.name), tuple) and not isinstance(v, tuple):
                 v = tuple(v)
             overrides[f.name] = v
+    if getattr(args, "radius", None) is not None:
+        overrides["default_radius"] = args.radius
+    if getattr(args, "fovy", None) is not None:
+        overrides["default_fovy"] = args.fovy
     cfg = replace(cfg, **overrides)
 
     if args.O:

@@ -41,7 +41,7 @@ canvas{display:block;margin:auto;image-rendering:pixelated}
 <span id="stat"></span></div>
 <canvas id="c" width="512" height="512"></canvas>
 <script>
-let polar=90, azim=0, radius=3.2, busy=false, dirty=true;
+let polar=90, azim=0, radius=__RADIUS__, busy=false, dirty=true;
 const c=document.getElementById('c'), ctx=c.getContext('2d');
 let drag=null;
 c.onmousedown=e=>drag=[e.clientX,e.clientY];
@@ -97,17 +97,25 @@ class ViewerState:
         rd = batch.rays_d.reshape(-1, 3)
         key = jax.random.PRNGKey(0)
 
+        # fixed GUI light from --light_theta/--light_phi (elevation/azimuth
+        # degrees, y-up — the reference's test_gui convention,
+        # nerf/utils.py:962-966)
+        th, ph = np.deg2rad(cfg.light_theta), np.deg2rad(cfg.light_phi)
+        light_d = np.array([np.sin(th) * np.sin(ph), np.cos(th),
+                            np.sin(th) * np.cos(ph)], np.float32)
+
         sid = SHADING_IDS.get(shading, 0)
         fn = self._eval_cache.get((size, sid))
         if fn is None:
             renderer = tr.renderer
 
             @jax.jit
-            def fn(params, occ, ro, rd):
+            def fn(params, occ, ro, rd, light_d):
                 out = renderer.apply(
                     {"params": params}, RenderFlags(perturb=False), ro, rd,
                     occ_grid=occ if cfg.backbone in ("grid", "triplane")
                     else None,
+                    light_d=light_d,
                     ambient_ratio=0.3 if shading == "lambertian" else 1.0,
                     shading=sid, rngs={"render": key},
                     method=renderer.render)
@@ -115,7 +123,8 @@ class ViewerState:
 
             self._eval_cache[(size, sid)] = fn
         with self.lock:
-            img = fn(self.state.ema_params, self.state.occ_grid, ro, rd)
+            img = fn(self.state.ema_params, self.state.occ_grid, ro, rd,
+                     light_d)
         return np.asarray(img).reshape(size, size, 3)
 
     def train_steps(self, n):
@@ -167,7 +176,10 @@ def make_handler(vs: ViewerState, can_train: bool):
             u = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             if u.path == "/":
-                self._send(200, _PAGE.encode())
+                page = _PAGE.replace(
+                    "__RADIUS__",
+                    repr(float(vs.trainer.cfg.default_radius)))
+                self._send(200, page.encode())
             elif u.path == "/caps":
                 self._send(200, json.dumps({"train": can_train}).encode(),
                            "application/json")
@@ -175,7 +187,9 @@ def make_handler(vs: ViewerState, can_train: bool):
                 size = int(q.get("size", 256))
                 img = vs.render(float(q.get("polar", 90)),
                                 float(q.get("azimuth", 0)),
-                                float(q.get("radius", 3.2)), size,
+                                float(q.get("radius",
+                                            vs.trainer.cfg.default_radius)),
+                                size,
                                 q.get("shading", "albedo"))
                 from PIL import Image
                 buf = io.BytesIO()

@@ -106,3 +106,59 @@ def test_reference_format_csv_with_spaces(tmp_path):
     assert rows[0]["image"] == "data/front_rgba.png"
     assert float(rows[0]["polar"]) == 90.0
     assert float(rows[0]["zero123_weight"]) == 1.0
+
+
+def test_reference_compat_flags():
+    """Every reference-only flag is accepted: --cuda_ray/--taichi_ray/
+    --max_spp are documented no-ops, --radius/--fovy alias the default_*
+    camera fields, --light_theta/--light_phi are real config fields
+    (reference main.py:96-124, 155-156)."""
+    cfg = parse(["--text", "x", "--cuda_ray", "--taichi_ray",
+                 "--max_spp", "4", "--radius", "4.5", "--fovy", "30",
+                 "--light_theta", "45", "--light_phi", "10"])
+    assert cfg.default_radius == 4.5
+    assert cfg.default_fovy == 30.0
+    assert cfg.light_theta == 45.0 and cfg.light_phi == 10.0
+
+
+def test_full_reference_flag_surface():
+    """Parse the reference's entire argparse flag inventory (scraped from
+    its main.py when present) — a user's reference command line must not
+    crash here."""
+    import os
+    import re
+    ref = "/root/reference/main.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference checkout not present")
+    with open(ref) as f:
+        flags = re.findall(r"add_argument\('(--[a-z_0-9]+)'", f.read())
+    parser = build_parser()
+    defaults = parse(["--text", "x"])
+    argv = ["--text", "x"]
+    import dataclasses
+    from dreamfusion_tpu.config import Config
+    fields = {f.name: f for f in dataclasses.fields(Config)}
+    # flags defined by hand in build_parser as store_true (consume no value)
+    store_true = {"test", "six_views", "save_mesh", "dmtet", "lock_geo",
+                  "perpneg", "dont_override_stuff", "gui", "cuda_ray",
+                  "taichi_ray"}
+    for flag in flags:
+        name = flag[2:]
+        if name in ("file", "image", "image_config", "init_with"):
+            continue  # need real files; covered by dedicated tests above
+        if name in store_true:
+            argv += [flag]
+            continue
+        f = fields.get(name)
+        if f is None:
+            argv += [flag, "1"]
+            continue
+        v = getattr(defaults, name)
+        if isinstance(v, tuple):
+            argv += [flag] + [str(x) for x in v]
+        elif isinstance(v, bool):
+            argv += [flag, "true"]
+        else:
+            argv += [flag, str(v) if v is not None else "1"]
+    cfg = config_from_args(parser.parse_args(argv))
+    assert cfg.text == "x"

@@ -155,7 +155,8 @@ class Config:
     default_fovy: float = 20.0
     # GUI light direction (spherical degrees; reference main.py:122-123
     # --light_theta/--light_phi feed the DearPyGui lambertian preview — here
-    # they drive viewer.py's non-albedo shading light).
+    # they drive viewer.py's non-albedo shading light). light_theta is the
+    # POLAR/inclination angle (reference help: [0,180] ~ elevation [90,-90]).
     light_theta: float = 60.0
     light_phi: float = 0.0
     progressive_view: bool = False

@@ -73,7 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_spp", type=int, default=None,
                    help="compat no-op (static per-frame sample budget)")
     p.add_argument("--radius", type=float, default=None,
-                   help="alias for --default_radius (reference main.py:119)")
+                   help="alias for --default_radius (reference main.py:119; "
+                        "note the reference GUI default is 5 while "
+                        "default_radius stays 3.2 when this alias is unset)")
     p.add_argument("--fovy", type=float, default=None,
                    help="alias for --default_fovy (reference main.py:121)")
 
@@ -87,7 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
             continue
         arg = f"--{f.name}"
         if f.type == "bool" or isinstance(getattr(defaults, f.name), bool):
-            p.add_argument(arg, type=lambda s: s.lower() in ("1", "true", "yes"),
+            # accept both the reference's bare store_true form (--fp16) and
+            # the value form (--fp16 true/false)
+            p.add_argument(arg, nargs="?", const=True,
+                           type=lambda s: s.lower() in ("1", "true", "yes"),
                            default=None)
         elif isinstance(getattr(defaults, f.name), tuple):
             p.add_argument(arg, type=float, nargs="+", default=None)
@@ -110,9 +115,18 @@ def config_from_args(args: argparse.Namespace) -> Config:
             if isinstance(getattr(cfg, f.name), tuple) and not isinstance(v, tuple):
                 v = tuple(v)
             overrides[f.name] = v
+    # --radius/--fovy alias default_radius/default_fovy; the reference has
+    # BOTH flags (GUI radius + default_radius) so both can appear on one
+    # line — warn that the alias wins rather than silently overriding
     if getattr(args, "radius", None) is not None:
+        if "default_radius" in overrides:
+            print("[warn] both --radius and --default_radius given; "
+                  "--radius wins", file=sys.stderr)
         overrides["default_radius"] = args.radius
     if getattr(args, "fovy", None) is not None:
+        if "default_fovy" in overrides:
+            print("[warn] both --fovy and --default_fovy given; "
+                  "--fovy wins", file=sys.stderr)
         overrides["default_fovy"] = args.fovy
     cfg = replace(cfg, **overrides)
 

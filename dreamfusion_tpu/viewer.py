@@ -97,9 +97,9 @@ class ViewerState:
         rd = batch.rays_d.reshape(-1, 3)
         key = jax.random.PRNGKey(0)
 
-        # fixed GUI light from --light_theta/--light_phi (elevation/azimuth
-        # degrees, y-up — the reference's test_gui convention,
-        # nerf/utils.py:962-966)
+        # fixed GUI light from --light_theta/--light_phi (polar/azimuth
+        # degrees, y-up; theta is the polar angle — reference help:
+        # [0,180] ~ elevation [90,-90] — nerf/utils.py:962-966)
         th, ph = np.deg2rad(cfg.light_theta), np.deg2rad(cfg.light_phi)
         light_d = np.array([np.sin(th) * np.sin(ph), np.cos(th),
                             np.sin(th) * np.cos(ph)], np.float32)

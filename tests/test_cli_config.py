@@ -131,23 +131,27 @@ def test_full_reference_flag_surface():
     if not os.path.exists(ref):
         pytest.skip("reference checkout not present")
     with open(ref) as f:
-        flags = re.findall(r"add_argument\('(--[a-z_0-9]+)'", f.read())
+        src = f.read()
+    # both quote styles + any case; capture whether the flag is store_true
+    # so we can pass it BARE, exactly as a reference command line would
+    calls = re.findall(
+        r"add_argument\((['\"])(--[A-Za-z_0-9]+)\1([^)]*)", src)
+    flags = [(flag, "store_true" in rest) for _, flag, rest in calls]
+    assert len(flags) >= 100, (
+        f"scrape canary: only {len(flags)} flags scraped from the reference "
+        "(expected its full ~114-flag inventory); regex drift?")
     parser = build_parser()
     defaults = parse(["--text", "x"])
     argv = ["--text", "x"]
     import dataclasses
     from dreamfusion_tpu.config import Config
     fields = {f.name: f for f in dataclasses.fields(Config)}
-    # flags defined by hand in build_parser as store_true (consume no value)
-    store_true = {"test", "six_views", "save_mesh", "dmtet", "lock_geo",
-                  "perpneg", "dont_override_stuff", "gui", "cuda_ray",
-                  "taichi_ray"}
-    for flag in flags:
+    for flag, bare in flags:
         name = flag[2:]
         if name in ("file", "image", "image_config", "init_with"):
             continue  # need real files; covered by dedicated tests above
-        if name in store_true:
-            argv += [flag]
+        if bare:
+            argv += [flag]  # reference store_true flags consume no value
             continue
         f = fields.get(name)
         if f is None:
@@ -162,3 +166,7 @@ def test_full_reference_flag_surface():
             argv += [flag, str(v) if v is not None else "1"]
     cfg = config_from_args(parser.parse_args(argv))
     assert cfg.text == "x"
+    # bare store_true booleans that map onto auto-generated value-form
+    # flags must land as True (the ADVICE round-2 finding)
+    assert cfg.fp16 and cfg.jitter_pose and cfg.progressive_view
+    assert cfg.progressive_level and cfg.save_guidance

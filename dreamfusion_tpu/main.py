@@ -206,6 +206,20 @@ def build_guidance(cfg: Config, tiny: bool = False, ref_images=None):
             embeddings[name] = g.prepare_embeddings(
                 p, cfg.text or None,
                 ref_images.rgb[0] if ref_images is not None else None)
+
+    if cfg.fp16 and not tiny:
+        # frozen guidance towers in bf16 (reference runs fp16 guidance under
+        # -O, main.py:172-174); embeddings stay fp32 — they are small, and
+        # fp32 keeps their bits identical across runs for the compile-cache
+        # fingerprint (CLAUDE.md gotcha 12)
+        import jax.numpy as jnp
+        gparams = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, gparams)
+        embeddings = jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
+            embeddings)
     return guidances, gparams, embeddings
 
 

@@ -140,6 +140,17 @@ class Trainer:
         self.epoch = 0
         self.stats: Dict[str, Any] = {"loss": [], "valid_loss": [],
                                       "checkpoints": []}
+        # guards stats["checkpoints"] against concurrent mutation from the
+        # async-save thread while the main thread reads it
+        import threading
+        self._stats_lock = threading.Lock()
+        self._save_error: Optional[BaseException] = None
+        # cumulative per-phase wall-clock so a long run's total is
+        # attributable (VERDICT r2: "log cumulative save/eval overhead")
+        self.time_stats: Dict[str, float] = {
+            "train_wall": 0.0, "eval": 0.0, "save_sync": 0.0,
+            "guidance_snapshot": 0.0, "first_iter_dispatch": 0.0,
+            "log_sync": 0.0}
 
         os.makedirs(self.workspace, exist_ok=True)
         os.makedirs(os.path.join(self.workspace, "checkpoints"), exist_ok=True)
@@ -712,11 +723,13 @@ class Trainer:
         t0 = time.time()
         loss_accum, n_accum = 0.0, 0
         start = self.global_step
+        first_iter = True
         exp_end = cfg.exp_end_iter or cfg.iters
         exp_start = cfg.exp_start_iter or 0
         while self.global_step < max_steps:
             key, k_step, k_grid = jax.random.split(key, 3)
 
+            t_iter = time.time()
             if self.needs_density_grid and \
                     self.global_step % cfg.update_extra_interval == 0:
                 state = self._update_grid_fn(state, k_grid)
@@ -730,10 +743,17 @@ class Trainer:
             else:
                 state, metrics = self._train_step_main(state, k_step)
             self.global_step += 1
+            if first_iter:
+                # jit dispatch blocks through trace+compile (cached
+                # thereafter), so the first iteration's wall is ~compile
+                self.time_stats["first_iter_dispatch"] = time.time() - t_iter
+                first_iter = False
 
             if self.global_step % cfg.dataset_size_train == 0 or \
                     self.global_step == max_steps:
-                loss = float(metrics["loss"])
+                t_log = time.time()
+                loss = float(metrics["loss"])  # fences the dispatched chain
+                self.time_stats["log_sync"] += time.time() - t_log
                 self.stats["loss"].append(loss)
                 if self.tb_writer is not None:
                     self.tb_writer.add_scalar("train/loss", loss,
@@ -744,22 +764,54 @@ class Trainer:
                 dt = time.time() - t0
                 done = self.global_step - start
                 md = float(getattr(state, "mean_density", 0.0))
+                ts = self.time_stats
+                overhead = ts["eval"] + ts["save_sync"] + \
+                    ts["guidance_snapshot"]
                 self.log(f"[step {self.global_step}/{max_steps}] "
                          f"loss={loss:.4f} mean_density={md:.3f} "
-                         f"({done / dt:.2f} it/s)")
+                         f"({done / dt:.2f} it/s, "
+                         f"eval+save+snap {overhead:.1f}s)")
                 self.epoch = self.global_step // cfg.dataset_size_train
                 if cfg.eval_interval > 0 and \
                         self.epoch % cfg.eval_interval == 0:
+                    t_eval = time.time()
                     result = self.evaluate(state)
                     self.save_checkpoint(state, full=False,
                                          metric=result)  # df best-model
+                    self.time_stats["eval"] += time.time() - t_eval
                 if cfg.save_guidance and self.guidances and \
                         self.epoch > 0 and \
                         self.epoch % max(cfg.save_guidance_interval, 1) == 0:
+                    t_snap = time.time()
                     self.save_guidance_snapshot(state)
+                    self.time_stats["guidance_snapshot"] += \
+                        time.time() - t_snap
+                t_save = time.time()
                 self.save_checkpoint(state, async_=True)
+                self.time_stats["save_sync"] += time.time() - t_save
+        t_join = time.time()
         self.join_pending_saves()
+        self.time_stats["save_sync"] += time.time() - t_join
+        self.time_stats["train_wall"] += time.time() - t0
+        self._write_run_stats(max_steps - start)
         return state
+
+    def _write_run_stats(self, n_steps: int):
+        """Persist the per-phase wall-clock breakdown of the last train()
+        call (workspace/run_stats.json) so long-run wall time is
+        attributable: steps vs evals vs saves vs compile."""
+        ts = dict(self.time_stats)
+        overhead = ts["eval"] + ts["save_sync"] + ts["guidance_snapshot"]
+        ts["steps"] = max(ts["train_wall"] - overhead, 0.0)
+        ts["n_steps"] = n_steps
+        if ts["steps"] > 0 and n_steps > 0:
+            ts["steady_it_s"] = n_steps / ts["steps"]
+        try:
+            with open(os.path.join(self.workspace, "run_stats.json"),
+                      "w") as f:
+                json.dump(ts, f, indent=1)
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------
     def _snapshot_render(self, state) -> np.ndarray:
@@ -947,19 +999,31 @@ class Trainer:
             ckptr.wait_until_finished()
             with open(path + ".meta.json", "w") as f:
                 json.dump(meta, f)
-            # re-saving the same epoch must not register a duplicate entry —
-            # retention would otherwise delete the path it just wrote
-            if path in self.stats["checkpoints"]:
-                self.stats["checkpoints"].remove(path)
-            self.stats["checkpoints"].append(path)
-            # rolling retention (utils.py:1231-1235)
-            while len(self.stats["checkpoints"]) > self.cfg.max_keep_ckpt:
-                old = self.stats["checkpoints"].pop(0)
+            with self._stats_lock:
+                # re-saving the same epoch must not register a duplicate
+                # entry — retention would otherwise delete the path it
+                # just wrote
+                if path in self.stats["checkpoints"]:
+                    self.stats["checkpoints"].remove(path)
+                self.stats["checkpoints"].append(path)
+                # rolling retention (utils.py:1231-1235)
+                old_paths = []
+                while len(self.stats["checkpoints"]) > self.cfg.max_keep_ckpt:
+                    old_paths.append(self.stats["checkpoints"].pop(0))
+            for old in old_paths:
                 import shutil
                 if os.path.exists(old):
                     shutil.rmtree(old, ignore_errors=True)
                 if os.path.exists(old + ".meta.json"):
                     os.remove(old + ".meta.json")
+
+        def do_save_guarded():
+            # surface failures at the next join (a silently failed rolling
+            # save would leave stale checkpoints while training continues)
+            try:
+                do_save()
+            except BaseException as e:  # noqa: BLE001 — re-raised on join
+                self._save_error = e
 
         if async_:
             # Overlap the D2H copy + disk write with training: the rolling
@@ -970,7 +1034,7 @@ class Trainer:
             # `state` while the main loop keeps dispatching steps; the next
             # save (or train-loop exit) joins the previous one first.
             import threading
-            t = threading.Thread(target=do_save, daemon=False)
+            t = threading.Thread(target=do_save_guarded, daemon=False)
             self._save_thread = t
             t.start()
         else:
@@ -978,11 +1042,18 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def join_pending_saves(self):
-        """Block until a pending async rolling checkpoint finishes."""
+        """Block until a pending async rolling checkpoint finishes.
+        Re-raises any exception the save thread hit (fail loud — a broken
+        rolling save is the one failure you otherwise only discover when
+        you need to resume)."""
         t = getattr(self, "_save_thread", None)
         if t is not None:
             t.join()
             self._save_thread = None
+        err, self._save_error = getattr(self, "_save_error", None), None
+        if err is not None:
+            raise RuntimeError(
+                f"async checkpoint save failed: {err!r}") from err
 
     def load_checkpoint(self, state_template: TrainState,
                         ckpt: str = "latest") -> Tuple[TrainState, bool]:

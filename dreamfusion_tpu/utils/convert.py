@@ -307,6 +307,183 @@ def unet_mapper_ldm(cfg, prefix: str = "model.diffusion_model."
 
 
 # ---------------------------------------------------------------------------
+# ldm ↔ diffusers key-rename bridge
+#
+# The correspondence between the CompVis/ldm single-ckpt layout and the
+# diffusers per-module layout is a DETERMINISTIC rename, publicly documented
+# by diffusers' convert_original_stable_diffusion_to_diffusers script
+# (reference anchor: guidance/sd_utils.py:34-49 loads the diffusers layout;
+# zero123_utils.py:24-37 loads the ldm layout of the same architecture).
+# Encoding it once lets the diffusers-layout mappers above be validated
+# against the GROUND-TRUTH ldm key inventories (tests/fixtures/
+# sd15_ldm_keys.json) *through* the rename — breaking the circularity of
+# checking a mapper against a fixture generated by itself.
+# ---------------------------------------------------------------------------
+
+_LDM2DIFF_RES = {
+    "in_layers.0": "norm1", "in_layers.2": "conv1",
+    "emb_layers.1": "time_emb_proj",
+    "out_layers.0": "norm2", "out_layers.3": "conv2",
+    "skip_connection": "conv_shortcut",
+}
+
+_LDM2DIFF_VAE_ATTN = {
+    "norm": "group_norm", "q": "to_q", "k": "to_k", "v": "to_v",
+    "proj_out": "to_out.0",
+}
+
+
+def _res_rename(rest: str) -> Optional[str]:
+    """'in_layers.0.weight' → 'norm1.weight' (ldm ResBlock → diffusers)."""
+    name, _, wb = rest.rpartition(".")
+    new = _LDM2DIFF_RES.get(name)
+    return None if new is None else f"{new}.{wb}"
+
+
+def ldm_to_diffusers_unet_key(cfg, prefix: str = "model.diffusion_model."
+                              ) -> Callable[[str], Optional[str]]:
+    """ldm UNetModel checkpoint key → diffusers UNet2DConditionModel key.
+
+    Structure walk mirrors unet_mapper_ldm's index tables: input_blocks
+    hold R resnets per level then a downsample (except the last level);
+    output_blocks hold R+1 entries per level, deepest first, with the
+    upsampler appended to the level's last entry."""
+    L = len(cfg.channel_mult)
+    R = cfg.num_res_blocks
+
+    # input_blocks index → (level, block | 'down')
+    in_tab: Dict[int, tuple] = {}
+    n = 1
+    for lvl in range(L):
+        for blk in range(R):
+            in_tab[n] = (lvl, blk)
+            n += 1
+        if lvl != L - 1:
+            in_tab[n] = (lvl, "down")
+            n += 1
+
+    def mapper(key: str) -> Optional[str]:
+        if not key.startswith(prefix):
+            return None
+        p = key[len(prefix):]
+        wb = p.rsplit(".", 1)[-1]
+        if p.startswith("time_embed.0."):
+            return f"time_embedding.linear_1.{wb}"
+        if p.startswith("time_embed.2."):
+            return f"time_embedding.linear_2.{wb}"
+        if p.startswith("input_blocks.0.0."):
+            return f"conv_in.{wb}"
+        if p.startswith("out.0."):
+            return f"conv_norm_out.{wb}"
+        if p.startswith("out.2."):
+            return f"conv_out.{wb}"
+        m = re.match(r"input_blocks\.(\d+)\.(\d+)\.(.*)", p)
+        if m:
+            i, sub, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+            lvl, blk = in_tab[i]
+            if blk == "down":
+                if sub != 0 or not rest.startswith("op."):
+                    return None
+                return f"down_blocks.{lvl}.downsamplers.0.conv.{wb}"
+            if sub == 0:
+                r = _res_rename(rest)
+                return None if r is None else \
+                    f"down_blocks.{lvl}.resnets.{blk}.{r}"
+            if sub == 1:
+                # SpatialTransformer sub-keys are named identically in
+                # diffusers' Transformer2DModel
+                return f"down_blocks.{lvl}.attentions.{blk}.{rest}"
+            return None
+        m = re.match(r"middle_block\.(\d)\.(.*)", p)
+        if m:
+            sub, rest = int(m.group(1)), m.group(2)
+            if sub == 1:
+                return f"mid_block.attentions.0.{rest}"
+            r = _res_rename(rest)
+            return None if r is None else \
+                f"mid_block.resnets.{0 if sub == 0 else 1}.{r}"
+        m = re.match(r"output_blocks\.(\d+)\.(\d+)\.(.*)", p)
+        if m:
+            i, sub, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+            j, blk = i // (R + 1), i % (R + 1)
+            if sub == 0:
+                r = _res_rename(rest)
+                return None if r is None else \
+                    f"up_blocks.{j}.resnets.{blk}.{r}"
+            if rest.startswith("conv."):  # upsampler (sub 1 or 2)
+                return f"up_blocks.{j}.upsamplers.0.conv.{wb}"
+            if sub == 1:
+                return f"up_blocks.{j}.attentions.{blk}.{rest}"
+            return None
+        return None
+
+    return mapper
+
+
+def ldm_to_diffusers_vae_key(cfg, prefix: str = "first_stage_model."
+                             ) -> Callable[[str], Optional[str]]:
+    """ldm AutoencoderKL checkpoint key → diffusers AutoencoderKL key.
+
+    Note the mid-block attention: ldm stores q/k/v/proj_out as 1×1 convs
+    ([C, C, 1, 1]); diffusers stores them as linears ([C, C]) under
+    to_q/to_k/to_v/to_out.0 — the rename implies that squeeze (handled by
+    _fit's conv→dense path when converting actual tensors)."""
+    L = len(cfg.ch_mult)
+
+    def mapper(key: str) -> Optional[str]:
+        if not key.startswith(prefix):
+            return None
+        p = key[len(prefix):]
+        wb = p.rsplit(".", 1)[-1]
+        if p.startswith(("quant_conv.", "post_quant_conv.")):
+            return p
+        side, _, p = p.partition(".")
+        if side not in ("encoder", "decoder"):
+            return None
+        if p.startswith("norm_out."):
+            return f"{side}.conv_norm_out.{wb}"
+        if p.startswith(("conv_in.", "conv_out.")):
+            return f"{side}.{p}"
+        m = re.match(r"mid\.block_([12])\.(.*)", p)
+        if m:
+            rest = m.group(2)
+            name, _, _ = rest.rpartition(".")
+            if name == "nin_shortcut":
+                rest = f"conv_shortcut.{wb}"
+            return f"{side}.mid_block.resnets.{int(m.group(1)) - 1}.{rest}"
+        m = re.match(r"mid\.attn_1\.(\w+)\.(weight|bias)", p)
+        if m:
+            new = _LDM2DIFF_VAE_ATTN.get(m.group(1))
+            return None if new is None else \
+                f"{side}.mid_block.attentions.0.{new}.{m.group(2)}"
+        m = re.match(r"down\.(\d+)\.block\.(\d+)\.(.*)", p)
+        if m:
+            rest = m.group(3)
+            if rest.startswith("nin_shortcut."):
+                rest = f"conv_shortcut.{wb}"
+            return f"encoder.down_blocks.{m.group(1)}.resnets." \
+                   f"{m.group(2)}.{rest}"
+        m = re.match(r"down\.(\d+)\.downsample\.conv\.", p)
+        if m:
+            return f"encoder.down_blocks.{m.group(1)}.downsamplers.0." \
+                   f"conv.{wb}"
+        m = re.match(r"up\.(\d+)\.block\.(\d+)\.(.*)", p)
+        if m:
+            rest = m.group(3)
+            if rest.startswith("nin_shortcut."):
+                rest = f"conv_shortcut.{wb}"
+            return f"decoder.up_blocks.{L - 1 - int(m.group(1))}.resnets." \
+                   f"{m.group(2)}.{rest}"
+        m = re.match(r"up\.(\d+)\.upsample\.conv\.", p)
+        if m:
+            return f"decoder.up_blocks.{L - 1 - int(m.group(1))}." \
+                   f"upsamplers.0.conv.{wb}"
+        return None
+
+    return mapper
+
+
+# ---------------------------------------------------------------------------
 # DeepFloyd-IF UNet key mapping (diffusers layout — the only published one)
 # ---------------------------------------------------------------------------
 

@@ -294,3 +294,48 @@ def test_grad_clip_rgb_bounds_image_gradient(tmp_path, tiny_guidance):
                                   img, batch, as_latent=False)
 
     assert float(jnp.abs(jax.grad(sds2)(img)).max()) > limit
+
+
+def test_async_save_failure_raises_on_join(tmp_path, tiny_guidance,
+                                           monkeypatch):
+    """A failing async rolling save must surface at the next join — a
+    silently-stale checkpoint is the failure you only discover on resume."""
+    import orbax.checkpoint as ocp
+
+    g, gparams, emb = tiny_guidance
+    cfg = tiny_config(tmp_path, backbone="vanilla", iters=2,
+                      latent_iter_ratio=0.0)
+    tr = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gparams},
+                 embeddings={"SD": emb})
+    state = tr.init_state(jax.random.PRNGKey(0))
+
+    def boom(self, *a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(ocp.StandardCheckpointer, "save", boom)
+    tr.save_checkpoint(state, async_=True)
+    with pytest.raises(RuntimeError, match="async checkpoint save failed"):
+        tr.join_pending_saves()
+    # the error is consumed: a second join is clean
+    tr.join_pending_saves()
+
+
+def test_run_stats_written(tmp_path, tiny_guidance):
+    """train() writes an attributable per-phase wall-clock breakdown."""
+    import json as _json
+
+    g, gparams, emb = tiny_guidance
+    cfg = tiny_config(tmp_path, backbone="vanilla", iters=3,
+                      dataset_size_train=3, latent_iter_ratio=0.0,
+                      eval_interval=1)
+    tr = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gparams},
+                 embeddings={"SD": emb})
+    state = tr.init_state(jax.random.PRNGKey(0))
+    tr.train(state, max_steps=cfg.iters)
+    with open(os.path.join(tr.workspace, "run_stats.json")) as f:
+        ts = _json.load(f)
+    assert ts["n_steps"] == 3
+    assert ts["train_wall"] > 0
+    assert ts["eval"] > 0          # eval_interval=1 ran an eval
+    assert ts["steady_it_s"] > 0
+    assert ts["steps"] <= ts["train_wall"]

@@ -127,12 +127,33 @@ def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
     jax.block_until_ready(metrics["loss"])
     note(f"train step compiled+ran in {_t.time()-t:.1f}s")
 
-    # best of 3 timed repeats: the remote-dispatch tunnel adds run-to-run
-    # jitter of ~10% on a 20-step block; max-of-3 reads the true step rate.
+    # Untimed warm block: the first CHAINED dispatch sequence after compile
+    # can hit the tunnel's pathological slow mode (gotcha 9 — BENCH_r02's
+    # repeat 0 read 0.092 it/s, 217 s for 20 steps, inside the measurement).
+    # One compile-and-run of each program above is NOT enough; a short
+    # fenced chain is.  Warm until a block is within 2x of the best block
+    # seen (max 3 blocks) so the timed repeats start in steady state.
+    warm_n = max(3, min(steps // 2, 8))
+    prev = 0.0
+    for wrep in range(3):
+        t0 = _t.time()
+        for i in range(warm_n):
+            state, metrics = step_fn(
+                state, jax.random.PRNGKey(50 + 100 * wrep + i))
+        float(metrics["loss"])
+        rate = warm_n / (_t.time() - t0)
+        note(f"warm block {wrep}: {rate:.3f} it/s")
+        if prev > 0 and rate > 0.5 * prev:
+            break
+        prev = max(prev, rate)
+
+    # 3 timed repeats: the remote-dispatch tunnel adds run-to-run jitter of
+    # ~10% on a 20-step block.  Median-of-3 is the headline (robust to one
+    # bad block); best-of-3 is also reported.
     # float() — NOT block_until_ready — forces the chain: on this backend
     # block_until_ready can return early on chained multi-program futures
     # (measured 0.04 s "wait" for 131 s of real work, CLAUDE.md gotcha 7)
-    it_s = 0.0
+    repeats = []
     for rep in range(3):
         t0 = time.time()
         for i in range(steps):
@@ -144,8 +165,184 @@ def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
         float(metrics["loss"])
         dt = time.time() - t0
         note(f"repeat {rep}: {steps / dt:.3f} it/s")
-        it_s = max(it_s, steps / dt)
-    return it_s
+        repeats.append(steps / dt)
+    return repeats
+
+
+def _timed_repeats(step_fn, state, steps: int, note, update_grid=None,
+                   update_interval: int = 16):
+    """Shared warm-block + 3-timed-repeat harness (see run_bench)."""
+    import time as _t
+
+    import jax
+    warm_n = max(3, min(steps // 2, 8))
+    prev = 0.0
+    for wrep in range(3):
+        t0 = _t.time()
+        for i in range(warm_n):
+            state, metrics = step_fn(
+                state, jax.random.PRNGKey(50 + 100 * wrep + i))
+        float(metrics["loss"])
+        rate = warm_n / (_t.time() - t0)
+        note(f"warm block {wrep}: {rate:.3f} it/s")
+        if prev > 0 and rate > 0.5 * prev:
+            break
+        prev = max(prev, rate)
+    repeats = []
+    for rep in range(3):
+        t0 = _t.time()
+        for i in range(steps):
+            if update_grid is not None and i % update_interval == 0:
+                state = update_grid(
+                    state, jax.random.PRNGKey(100 + 1000 * rep + i))
+            state, metrics = step_fn(
+                state, jax.random.PRNGKey(200 + 1000 * rep + i))
+        float(metrics["loss"])
+        dt = _t.time() - t0
+        note(f"repeat {rep}: {steps / dt:.3f} it/s")
+        repeats.append(steps / dt)
+    return repeats
+
+
+def run_bench_dmtet(steps: int = 20, smoke: bool = False):
+    """Stage-2 (DMTet) train step at the reference's 512² stage-2
+    resolution (main.py:253-274 scales h,w by dmtet_reso_scale=8):
+    marching tets → tile rasterization → texture query → SDS on the full
+    SD 2.1 tower → Adan.  Sphere-init geometry (step cost does not depend
+    on the converged shape; the tri budget is static)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dreamfusion_tpu.config import Config, apply_dmtet, finalize
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    from dreamfusion_tpu.guidance.embeddings import prepare_text_embeddings
+    from dreamfusion_tpu.guidance.sd import SDConfig, StableDiffusionGuidance
+    from dreamfusion_tpu.training.dmtet_trainer import DMTetTrainer
+
+    def note(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    if smoke:
+        cfg = finalize(apply_dmtet(Config(
+            text="a hamburger", workspace="/tmp/dftpu_bench_dmtet",
+            backbone="triplane", w=4, h=4, dmtet_reso_scale=8.0,
+            tet_grid_size=16, latent_iter_ratio=0.0, fp16=False, seed=0,
+            use_tensorboard=False)))
+        sdc = SDConfig(tiny=True, image_size=16, latent_size=8)
+        steps = min(steps, 5)
+    else:
+        cfg = finalize(apply_dmtet(Config(
+            text="a highly detailed hamburger",
+            workspace="/tmp/dftpu_bench_dmtet",
+            backbone="triplane", w=64, h=64,   # ×8 → 512² stage-2 res
+            latent_iter_ratio=0.0, fp16=True, seed=0,
+            use_tensorboard=False)))
+        sdc = SDConfig(sd_version="2.1")
+
+    key = jax.random.PRNGKey(0)
+    g = StableDiffusionGuidance(sdc)
+    note("init guidance params...")
+    gp = g.init_params(key)
+    if not smoke:
+        gp = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, gp)
+    emb = prepare_text_embeddings(g, gp, cfg.text)
+    emb = {k: v.astype(jnp.float32) for k, v in emb.items()}
+    tr = DMTetTrainer(cfg, guidances={"SD": g}, guidance_params={"SD": gp},
+                      embeddings={"SD": emb})
+    note("init DMTet state (sphere sdf)...")
+    state = tr.init_state(key)
+    step_fn = tr._make_train_step("main")
+    import time as _t
+    t = _t.time()
+    note("compiling dmtet train step...")
+    state, metrics = step_fn(state, jax.random.PRNGKey(2))
+    float(metrics["loss"])
+    note(f"dmtet step compiled+ran in {_t.time()-t:.1f}s")
+    return _timed_repeats(step_fn, state, steps, note)
+
+
+def run_bench_zero123(steps: int = 20, smoke: bool = False):
+    """Image-conditioned (zero-1-to-3) SDS step at full size: 64² render →
+    256² zero123 ldm UNet with hybrid image+pose conditioning (reference
+    guidance/zero123_utils.py:113-231), image-mode lambdas
+    (config.apply_image_mode).  Synthetic reference image (no egress);
+    random ldm weights are architecture-exact so the step cost is real."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from dreamfusion_tpu.config import Config, apply_image_mode, finalize
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    from dreamfusion_tpu.guidance.zero123 import (Zero123Config,
+                                                  Zero123Guidance)
+    from dreamfusion_tpu.training.image_data import RefImages
+    from dreamfusion_tpu.training.trainer import Trainer
+
+    def note(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    if smoke:
+        base = Config(
+            text=None, image="synthetic", workspace="/tmp/dftpu_bench_z123",
+            backbone="grid", w=16, h=16, grid_levels=4,
+            grid_log2_hashmap_size=8, grid_desired_resolution=64,
+            grid_size=32, grid_coarse_steps=16, grid_fine_steps=16,
+            hidden_dim=16, num_layers=2, fp16=False, seed=0,
+            use_tensorboard=False)
+        zc = Zero123Config(tiny=True)
+        K = 32
+        steps = min(steps, 5)
+    else:
+        base = Config(
+            text=None, image="synthetic", workspace="/tmp/dftpu_bench_z123",
+            backbone="triplane", w=64, h=64, fp16=True, seed=0,
+            use_tensorboard=False)
+        zc = Zero123Config()
+        K = 256
+    cfg = finalize(apply_image_mode(base))
+
+    # synthetic reference view: a centered smooth blob (content does not
+    # affect step time; shapes/dtypes match preprocess_image.py output)
+    yy, xx = np.mgrid[0:K, 0:K].astype(np.float32) / K - 0.5
+    r2 = xx ** 2 + yy ** 2
+    rgb = np.stack([np.exp(-8 * r2)] * 3, -1).astype(np.float32)
+    mask = r2 < 0.2
+    ref = RefImages(rgb=rgb[None], mask=mask[None],
+                    depth=np.sqrt(np.maximum(0.04 - r2, 0))[None],
+                    normal=None)
+
+    key = jax.random.PRNGKey(0)
+    g = Zero123Guidance(zc)
+    note("init zero123 params...")
+    gp = g.init_params(key)
+    if not smoke:
+        gp = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, gp)
+    emb = g.prepare_image_embeddings(gp, ref.rgb, ref.polars, ref.azimuths,
+                                     ref.radii, ref.weights)
+    tr = Trainer(cfg, guidances={"zero123": g},
+                 guidance_params={"zero123": gp},
+                 embeddings={"zero123": emb}, ref_images=ref)
+    note("init NeRF state...")
+    state = tr.init_state(key)
+    step_fn = tr._make_train_step("main")
+    update_grid = tr._make_update_grid() if tr.needs_density_grid else None
+    import time as _t
+    if update_grid is not None:
+        state = update_grid(state, jax.random.PRNGKey(1))
+        jax.block_until_ready(state.mean_density)
+    t = _t.time()
+    note("compiling zero123 train step...")
+    state, metrics = step_fn(state, jax.random.PRNGKey(2))
+    float(metrics["loss"])
+    note(f"zero123 step compiled+ran in {_t.time()-t:.1f}s")
+    return _timed_repeats(step_fn, state, steps, note,
+                          update_grid=update_grid,
+                          update_interval=cfg.update_extra_interval)
 
 
 def main():
@@ -163,22 +360,45 @@ def main():
                 help="triplane (TPU-first flagship) | grid | vanilla")
     ap.add_argument("--split", action="store_true",
                     help="bench the 3-program split step instead of fused")
+    ap.add_argument("--stage", type=str, default="nerf",
+                    choices=["nerf", "dmtet"],
+                    help="dmtet = stage-2 step at the reference's 512² "
+                         "stage-2 resolution")
+    ap.add_argument("--guidance", type=str, default="SD",
+                    choices=["SD", "zero123"],
+                    help="zero123 = image-conditioned SDS (full-size ldm "
+                         "UNet, hybrid image+pose conditioning)")
     args = ap.parse_args()
 
     if args.smoke:
         from dreamfusion_tpu.utils.platform import force_cpu
         force_cpu()
 
-    it_s = run_bench(smoke=args.smoke, steps=args.steps, render_hw=args.hw,
-                     backbone=args.backbone, fine_steps=args.fine,
-                     coarse_steps=args.coarse,
-                     triplane_scales=args.scales, grid_hash=args.grid_hash,
-                     split_step=args.split)
+    if args.stage == "dmtet":
+        metric = "dmtet_sds_iterations_per_sec"
+        repeats = run_bench_dmtet(steps=args.steps, smoke=args.smoke)
+    elif args.guidance == "zero123":
+        metric = "zero123_sds_iterations_per_sec"
+        repeats = run_bench_zero123(steps=args.steps, smoke=args.smoke)
+    else:
+        metric = "sds_iterations_per_sec"
+        repeats = run_bench(smoke=args.smoke, steps=args.steps,
+                            render_hw=args.hw,
+                            backbone=args.backbone, fine_steps=args.fine,
+                            coarse_steps=args.coarse,
+                            triplane_scales=args.scales,
+                            grid_hash=args.grid_hash,
+                            split_step=args.split)
+    # headline = MEDIAN of the timed repeats (VERDICT r2: best-of-3 hid a
+    # below-north-star median); best + all repeats reported alongside.
+    it_s = sorted(repeats)[len(repeats) // 2]
     print(json.dumps({
-        "metric": "sds_iterations_per_sec",
+        "metric": metric,
         "value": round(it_s, 3),
         "unit": "it/s",
         "vs_baseline": round(it_s / BASELINE_IT_S, 3),
+        "best": round(max(repeats), 3),
+        "repeats": [round(r, 3) for r in repeats],
     }))
 
 

@@ -7,14 +7,36 @@ ashawkey/stable-dreamfusion (see SURVEY.md for the blueprint).
 import os
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU's feature set.  XLA:CPU caches AOT
+    machine code compiled for the *build* host's features; loading it on a
+    CPU without those features risks SIGILL (observed: a cache written on
+    an avx512 `prefer-no-gather` machine spewed cpu_aot_loader errors on
+    the next round's host).  Scoping the cache dir by this hash makes a
+    foreign host miss cleanly instead of loading incompatible code."""
+    import hashlib
+    import platform
+    txt = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    txt += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(txt.encode()).hexdigest()[:10]
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache: recompiling the fused SDS step in
     every process costs minutes; the cache makes resume/test/bench restarts
-    near-instant."""
+    near-instant.  Scoped per host fingerprint (see _host_fingerprint)."""
     try:
         import jax
-        cache_dir = os.environ.get("DFTPU_COMPILE_CACHE",
-                                   os.path.expanduser("~/.cache/dftpu_xla"))
+        base = os.environ.get("DFTPU_COMPILE_CACHE",
+                              os.path.expanduser("~/.cache/dftpu_xla"))
+        cache_dir = os.path.join(base, _host_fingerprint())
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

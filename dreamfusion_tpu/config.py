@@ -204,6 +204,12 @@ class Config:
     # ---- misc / infra ----
     ema_decay: float = 0.95
     max_keep_ckpt: int = 2
+    # score text-only validation renders with a CLIP tower when one is
+    # available (pretrained clip.npz, an active clip guidance, or tiny
+    # smoke towers) so `--ckpt best` is best-by-metric even without ground
+    # truth; the reference falls back to best==latest there
+    # (nerf/utils.py:1236-1264)
+    clip_eval: bool = True
     save_guidance: bool = False
     save_guidance_interval: int = 10
     exp_start_iter: Optional[int] = None

@@ -49,6 +49,13 @@ class CLIPGuidance:
         proj = jax.random.normal(kp, (tc.hidden_size, vc.projection_dim)) * 0.02
         return {"vision": vision_p, "text": text_p, "text_projection": proj}
 
+    def load_pretrained(self, root: str) -> Dict[str, Any]:
+        """Converted weights from `root/clip.npz` (written by
+        `utils.convert --kind clip`); missing file keeps random params."""
+        from ..utils.params import maybe_load_params
+        params = self.init_params(jax.random.PRNGKey(0))
+        return maybe_load_params(root, "clip", params)
+
     def get_img_embeds(self, params, images: jax.Array) -> jax.Array:
         """[B, H, W, 3] in [0,1] → normalized [B, proj]."""
         vc = self.cfg.vision_config()

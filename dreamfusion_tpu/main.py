@@ -271,6 +271,26 @@ def main(argv=None):
         if loaded:
             trainer.log(f"[INFO] resumed from step {trainer.global_step}")
 
+    # CLIP eval metric for text-only runs (no ground-truth views): reuse an
+    # active clip guidance, else build a scorer tower from converted weights
+    # (or a tiny random one under --tiny_guidance smokes)
+    if needs_guidance and cfg.clip_eval and ref_images is None and cfg.text:
+        cg = cp = cz = None
+        if "clip" in guidances:
+            cg, cp = guidances["clip"], gparams["clip"]
+            cz = embeddings["clip"]
+        else:
+            from .guidance.clip import CLIPConfig, CLIPGuidance
+            has_w = bool(cfg.pretrained_root) and os.path.exists(
+                os.path.join(cfg.pretrained_root, "clip.npz"))
+            if has_w or args.tiny_guidance:
+                cg = CLIPGuidance(CLIPConfig(tiny=args.tiny_guidance))
+                cp = cg.load_pretrained(cfg.pretrained_root) if has_w \
+                    else cg.init_params(jax.random.PRNGKey(0))
+                cz = cg.prepare_embeddings(cp, cfg.text)
+        if cg is not None and cz:
+            trainer.set_clip_scorer(cg, cp, cz)
+
     if args.gui:
         # browser orbit viewer on the live trainer state (replaces the
         # reference's DearPyGui loop, nerf/gui.py; supports train-in-viewer

@@ -170,6 +170,11 @@ class Trainer:
         self._train_step_latent = None
         self._update_grid_fn = None
         self._eval_fns: Dict[Tuple[int, int], Any] = {}
+        # optional CLIP scorer for text-only runs (set_clip_scorer): makes
+        # `--ckpt best` real where the reference falls back to best==latest
+        # (its metrics list is empty without ground truth, utils.py:1236)
+        self._clip_scorer = None
+        self._clip_score_fn = None
         # subclasses (DMTetTrainer) opt out of occupancy-grid maintenance
         self.needs_density_grid = cfg.backbone in ("grid", "triplane") and not cfg.dmtet
 
@@ -899,11 +904,54 @@ class Trainer:
                 colorize_depth(np.asarray(depth).reshape(H, W)))
         return self._eval_metric(state)
 
+    def set_clip_scorer(self, guidance, params, embeddings: Dict[str, Any]):
+        """Install a CLIP tower to score text-only validation renders
+        (evaluation/r_precision.py's cosine protocol applied as the eval
+        metric).  `embeddings` needs a 'text' (or 'image') normalized embed
+        from CLIPGuidance.prepare_embeddings."""
+        self._clip_scorer = (guidance, jax.device_put(params),
+                             jax.tree.map(jax.device_put, embeddings))
+        self._clip_score_fn = None
+
+    def _clip_eval_metric(self, state: TrainState) -> float:
+        """Mean CLIP cosine similarity (×100) of n validation-circle renders
+        at the training resolution against the prompt embedding — the
+        r_precision scoring rule reused as a scalar quality metric so
+        `--ckpt best` keeps the best-scoring snapshot for pure text-to-3D."""
+        g, gp, clip_z = self._clip_scorer
+        cfg = self.cfg
+        H, W = cfg.h, cfg.w
+        eval_fn = self._get_eval_fn(H, W)
+        if self._clip_score_fn is None:
+            target = clip_z.get("text", clip_z.get("image"))
+
+            @jax.jit
+            def score_fn(gp, target, imgs):
+                z = g.get_img_embeds(gp, imgs)
+                return jnp.mean(jnp.sum(z * target, axis=-1))
+
+            self._clip_score_fn = score_fn
+        n_views = min(self.cfg.dataset_size_valid, 4)
+        imgs = []
+        for i in range(n_views):
+            batch = circle_view_batch(cfg, i, n_views, H, W)
+            img, _, _ = eval_fn(
+                state.ema_params, state.occ_grid,
+                batch.rays_o.reshape(-1, 3), batch.rays_d.reshape(-1, 3),
+                jax.random.PRNGKey(42))
+            imgs.append(img.reshape(H, W, 3))
+        target = clip_z.get("text", clip_z.get("image"))
+        score = self._clip_score_fn(gp, target, jnp.stack(imgs))
+        return float(score) * 100.0
+
     def _eval_metric(self, state: TrainState) -> Optional[float]:
         """Masked PSNR against the known reference views (higher better);
-        None when no ground truth exists (pure text-to-3D)."""
+        CLIP prompt-similarity when a scorer is installed (text-only runs);
+        None otherwise (matching the reference's empty-metrics fallback)."""
         ref = self.ref_images
         if ref is None:
+            if self._clip_scorer is not None:
+                return self._clip_eval_metric(state)
             return None
         from .data import default_view_batch
         cfg = self.cfg

@@ -26,9 +26,15 @@ H = W = 32
 RADIUS = 0.5  # target sphere radius
 
 
-def _target_views(n_views=4):
-    """Analytic ground truth: a centered sphere, albedo = 0.5+0.5*surface
-    normal (smooth, realizable by a density field), white background."""
+def _target_views(n_views=4, scene: str = "sphere"):
+    """Analytic ground truth views.
+
+    scene='sphere': a centered sphere, albedo = 0.5+0.5*surface normal
+    (smooth, realizable by a density field), white background.
+    scene='two_sphere': two mutually-occluding off-center spheres with a
+    procedurally textured albedo — the harder quality bar (VERDICT r2 #9):
+    occlusion boundaries move across views and the texture punishes a
+    blurry field much more than the smooth normal ramp does."""
     radii = jnp.full((n_views,), 3.2)
     thetas = jnp.full((n_views,), 80.0)
     phis = jnp.arange(n_views) * (360.0 / n_views)
@@ -41,37 +47,69 @@ def _target_views(n_views=4):
     # ray-sphere intersection (get_rays dirs are NOT unit-norm — use the
     # normalized direction for the analytic geometry)
     rdn = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
-    b = jnp.sum(ro * rdn, axis=-1)
-    c = jnp.sum(ro * ro, axis=-1) - RADIUS ** 2
-    disc = b * b - c
-    hit = disc > 0
-    t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
-    p = ro + rdn * t[:, None]
-    normal = p / RADIUS
-    color = 0.5 + 0.5 * normal
+
+    if scene == "sphere":
+        spheres = [((0.0, 0.0, 0.0), RADIUS)]
+    else:
+        spheres = [((0.26, 0.0, 0.08), 0.36), ((-0.3, 0.0, -0.14), 0.24)]
+
+    best_t = jnp.full(ro.shape[:1], jnp.inf)
+    hit = jnp.zeros(ro.shape[:1], bool)
+    normal = jnp.zeros_like(ro)
+    p_hit = jnp.zeros_like(ro)
+    for center, rad in spheres:
+        ctr = jnp.asarray(center)
+        oc = ro - ctr
+        b = jnp.sum(oc * rdn, axis=-1)
+        c = jnp.sum(oc * oc, axis=-1) - rad ** 2
+        disc = b * b - c
+        h = (disc > 0) & (-b - jnp.sqrt(jnp.maximum(disc, 0.0)) > 0)
+        t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+        closer = h & (t < best_t)
+        best_t = jnp.where(closer, t, best_t)
+        p = ro + rdn * t[:, None]
+        n = (p - ctr) / rad
+        normal = jnp.where(closer[:, None], n, normal)
+        p_hit = jnp.where(closer[:, None], p, p_hit)
+        hit = hit | h
+
+    if scene == "sphere":
+        color = 0.5 + 0.5 * normal
+    else:
+        # smooth 3D texture (products of sines — band-limited, so a field
+        # at the benchmark's encoder resolution can represent it)
+        tex = (jnp.sin(9.0 * p_hit[:, 0]) * jnp.sin(7.0 * p_hit[:, 1])
+               * jnp.sin(8.0 * p_hit[:, 2]))
+        color = jnp.clip(0.35 + 0.3 * normal + 0.3 * tex[:, None], 0.0, 1.0)
     img = jnp.where(hit[:, None], color, 1.0)
     return ro, rd, img, hit
 
 
 def fit(probe_steps: int = 32, fine_steps: int = 32, steps: int = 400,
-        backbone: str = "triplane", grid_hash: str = "affine"):
+        backbone: str = "triplane", grid_hash: str = "affine",
+        scene: str = "sphere", n_views: int = 4,
+        grid_levels: int = 8, grid_features: int = 2,
+        grid_log2_hashmap_size: int = 15):
     """Fit a backbone to the analytic target; returns
     (init PSNR, converged PSNR).  Parameterized so sample-budget sweeps
-    (scripts/quality_fine_steps.py) reuse the exact benchmark recipe."""
+    (scripts/quality_fine_steps.py, scripts/backbone_table.py) reuse the
+    exact benchmark recipe."""
     key = jax.random.PRNGKey(0)
-    ro, rd, target, hit = _target_views()
+    ro, rd, target, hit = _target_views(n_views, scene)
     hitf = hit[:, None].astype(jnp.float32)
 
     model = NeRFRenderer(
         backbone=backbone, triplane_resolution=64, triplane_channels=8,
         triplane_scales=2, hidden_dim=32, num_layers=2, bg_radius=-1,
         grid_probe_steps=probe_steps, grid_fine_steps=fine_steps,
-        grid_levels=8, grid_log2_hashmap_size=15,
+        grid_levels=grid_levels, grid_features_per_level=grid_features,
+        grid_log2_hashmap_size=grid_log2_hashmap_size,
         grid_desired_resolution=128, grid_hash=grid_hash,
         compute_dtype=jnp.float32,
     )
     G = 32
-    occ = jnp.ones((1, G, G, G), bool)
+    use_occ = backbone in ("grid", "triplane")
+    occ = jnp.ones((1, G, G, G), bool) if use_occ else None
     flags = RenderFlags(perturb=True, shading_static_albedo=True)
     variables = model.init({"params": key, "render": key}, flags, ro, rd,
                            occ_grid=occ, method=model.render)
@@ -131,7 +169,7 @@ def fit(probe_steps: int = 32, fine_steps: int = 32, steps: int = 400,
         # grid updates start after a warmup so geometry can first grow
         # beyond the density-blob core (reference warms 16 steps/epoch;
         # here the fit is from scratch, so give it 64)
-        if i >= 64 and i % 16 == 0:
+        if use_occ and i >= 64 and i % 16 == 0:
             density_grid, _mean, occ = grid_update(
                 params, density_grid, jax.random.PRNGKey(1000 + i))
         params, opt_state, _loss = step(params, opt_state, occ,
@@ -159,6 +197,17 @@ def test_convergence_improves_over_init(fitted):
     assert psnr1 - psnr0 >= 8.0, (
         f"PSNR gain {psnr1 - psnr0:.2f} dB — renderer did not converge "
         f"(init {psnr0:.2f} → {psnr1:.2f})")
+
+
+def test_convergence_hard_scene():
+    """Harder quality bar (VERDICT r2 #9): two mutually-occluding spheres
+    with a procedural 3D texture.  Occlusion boundaries move across views
+    and the texture punishes blur — a sampler/encoder that merely finds a
+    blobby mean fails this at ~15-20 dB.  Measured headroom: the flagship
+    converges to ~57 dB here (scripts/backbone_table.py)."""
+    _, psnr1 = fit(steps=400, backbone="triplane", scene="two_sphere")
+    assert np.isfinite(psnr1)
+    assert psnr1 >= 30.0, f"hard-scene converged {psnr1:.2f} dB < 30 dB bar"
 
 
 def test_convergence_grid_affine():

@@ -339,3 +339,28 @@ def test_run_stats_written(tmp_path, tiny_guidance):
     assert ts["eval"] > 0          # eval_interval=1 ran an eval
     assert ts["steady_it_s"] > 0
     assert ts["steps"] <= ts["train_wall"]
+
+
+def test_clip_eval_metric_for_text_only(tmp_path, tiny_guidance):
+    """With a CLIP scorer installed, evaluate() returns a float metric for
+    text-only runs (prompt cosine, r_precision scoring rule) and the df
+    snapshot becomes best-by-metric instead of best==latest."""
+    from dreamfusion_tpu.guidance.clip import CLIPConfig, CLIPGuidance
+
+    g, gparams, emb = tiny_guidance
+    cfg = tiny_config(tmp_path, backbone="vanilla", iters=2)
+    tr = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gparams},
+                 embeddings={"SD": emb})
+    cg = CLIPGuidance(CLIPConfig(tiny=True))
+    cp = cg.init_params(jax.random.PRNGKey(3))
+    cz = cg.prepare_embeddings(cp, "a hamburger")
+    assert "text" in cz
+    tr.set_clip_scorer(cg, cp, cz)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    m = tr.evaluate(state, n_views=1)
+    assert m is not None and np.isfinite(m)
+    # higher-better bookkeeping: a worse metric keeps the previous snapshot
+    tr.save_checkpoint(state, full=False, metric=m)
+    assert tr.stats["best_result"] == m
+    tr.save_checkpoint(state, full=False, metric=m - 1.0)
+    assert tr.stats["best_result"] == m

@@ -127,57 +127,31 @@ def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
     jax.block_until_ready(metrics["loss"])
     note(f"train step compiled+ran in {_t.time()-t:.1f}s")
 
-    # Untimed warm block: the first CHAINED dispatch sequence after compile
-    # can hit the tunnel's pathological slow mode (gotcha 9 — BENCH_r02's
-    # repeat 0 read 0.092 it/s, 217 s for 20 steps, inside the measurement).
-    # One compile-and-run of each program above is NOT enough; a short
-    # fenced chain is.  Warm until a block is within 2x of the best block
-    # seen (max 3 blocks) so the timed repeats start in steady state.
-    warm_n = max(3, min(steps // 2, 8))
-    prev = 0.0
-    for wrep in range(3):
-        t0 = _t.time()
-        for i in range(warm_n):
-            state, metrics = step_fn(
-                state, jax.random.PRNGKey(50 + 100 * wrep + i))
-        float(metrics["loss"])
-        rate = warm_n / (_t.time() - t0)
-        note(f"warm block {wrep}: {rate:.3f} it/s")
-        if prev > 0 and rate > 0.5 * prev:
-            break
-        prev = max(prev, rate)
-
-    # 3 timed repeats: the remote-dispatch tunnel adds run-to-run jitter of
-    # ~10% on a 20-step block.  Median-of-3 is the headline (robust to one
-    # bad block); best-of-3 is also reported.
-    # float() — NOT block_until_ready — forces the chain: on this backend
-    # block_until_ready can return early on chained multi-program futures
-    # (measured 0.04 s "wait" for 131 s of real work, CLAUDE.md gotcha 7)
-    repeats = []
-    for rep in range(3):
-        t0 = time.time()
-        for i in range(steps):
-            if i % cfg.update_extra_interval == 0:
-                state = update_grid(
-                    state, jax.random.PRNGKey(100 + 1000 * rep + i))
-            state, metrics = step_fn(
-                state, jax.random.PRNGKey(200 + 1000 * rep + i))
-        float(metrics["loss"])
-        dt = time.time() - t0
-        note(f"repeat {rep}: {steps / dt:.3f} it/s")
-        repeats.append(steps / dt)
-    return repeats
+    return _timed_repeats(step_fn, state, steps, note,
+                          update_grid=update_grid,
+                          update_interval=cfg.update_extra_interval)
 
 
 def _timed_repeats(step_fn, state, steps: int, note, update_grid=None,
                    update_interval: int = 16):
-    """Shared warm-block + 3-timed-repeat harness (see run_bench)."""
+    """Shared warm-block + 3-timed-repeat harness.
+
+    Untimed warm blocks: the first CHAINED dispatch sequences after
+    compile ramp through the tunnel's pathological slow mode (gotcha 9 —
+    measured ramp on a fresh process: 0.03 → 2.7 → 6.7 → 11.6 it/s over
+    successive blocks; BENCH_r02's repeat 0 read 0.092 it/s inside the
+    measurement).  Warm until the block rate stops improving by >1.3×
+    (steady state), max 6 blocks.  Then 3 timed repeats — the tunnel adds
+    ~10% run-to-run jitter; the caller reports the MEDIAN as headline.
+    float() — NOT block_until_ready — forces the chain: on this backend
+    block_until_ready can return early on chained multi-program futures
+    (measured 0.04 s "wait" for 131 s of real work, CLAUDE.md gotcha 7)."""
     import time as _t
 
     import jax
     warm_n = max(3, min(steps // 2, 8))
     prev = 0.0
-    for wrep in range(3):
+    for wrep in range(6):
         t0 = _t.time()
         for i in range(warm_n):
             state, metrics = step_fn(
@@ -185,9 +159,9 @@ def _timed_repeats(step_fn, state, steps: int, note, update_grid=None,
         float(metrics["loss"])
         rate = warm_n / (_t.time() - t0)
         note(f"warm block {wrep}: {rate:.3f} it/s")
-        if prev > 0 and rate > 0.5 * prev:
+        if prev > 0 and rate < 1.3 * prev:
             break
-        prev = max(prev, rate)
+        prev = rate
     repeats = []
     for rep in range(3):
         t0 = _t.time()

@@ -1,0 +1,93 @@
+"""Full-length flagship run on the TPU → RUN_r03.json (VERDICT r2 #1).
+
+Drives the real CLI (python -m dreamfusion_tpu.main) for a 10k-iteration
+text-to-3D run at the flagship configuration — latent warmup, occupancy
+grid updates, epoch evals at the reference's 800² eval resolution, async
+rolling checkpoints, final turntable video + mesh export — and writes a
+machine-readable wall-clock breakdown next to the repo root.
+
+The north star (BASELINE.md): 10k steps ≤ 15 min wall-clock.  Every phase
+is timed so whatever the total is, it is attributable: steps vs compile
+vs evals vs saves vs the final test/export (which the reference also runs
+in the same command, reference main.py:368-376).
+
+Run: python scripts/run_flagship.py [--iters 10000] [--out RUN_r03.json]
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10000)
+    ap.add_argument("--workspace", default="/root/runs/r3_flagship")
+    ap.add_argument("--out", default=os.path.join(ROOT, "RUN_r03.json"))
+    ap.add_argument("--eval_interval", type=int, default=10,
+                    help="epochs between 800² evals (10 → 10 evals over a "
+                         "10k run; the 4-view 800² eval costs ~4.7 s on "
+                         "this chip, scripts/probe_eval_cost.py)")
+    ap.add_argument("--text", default="a DSLR photo of a delicious "
+                    "hamburger")
+    args = ap.parse_args()
+
+    cmd = [
+        sys.executable, "-m", "dreamfusion_tpu.main",
+        "--text", args.text,
+        "--iters", str(args.iters),
+        "--workspace", args.workspace,
+        "--backbone", "triplane",
+        "--seed", "0",
+        "--lambda_3d_normal_smooth", "0",
+        "--eval_interval", str(args.eval_interval),
+        "--ckpt", "scratch",
+        "--save_mesh",
+    ]
+    print("[run_flagship]", " ".join(cmd), flush=True)
+    t0 = time.time()
+    proc = subprocess.run(cmd, cwd=ROOT)
+    total = time.time() - t0
+
+    stats = {}
+    rs = os.path.join(args.workspace, "run_stats.json")
+    if os.path.exists(rs):
+        with open(rs) as f:
+            stats = json.load(f)
+
+    results_dir = os.path.join(args.workspace, "results")
+    mesh_dir = os.path.join(args.workspace, "mesh")
+    artifacts = {
+        "video": sorted(os.listdir(results_dir))
+        if os.path.isdir(results_dir) else [],
+        "mesh": sorted(os.listdir(mesh_dir))
+        if os.path.isdir(mesh_dir) else [],
+    }
+    train_wall = stats.get("train_wall", 0.0)
+    out = {
+        "iters": args.iters,
+        "returncode": proc.returncode,
+        "total_wall_s": round(total, 1),
+        "train_wall_s": round(train_wall, 1),
+        "train_wall_min": round(train_wall / 60.0, 2),
+        "post_train_s": round(total - train_wall, 1),  # test video + mesh
+        "phases": {k: round(v, 1) for k, v in stats.items()
+                   if isinstance(v, (int, float))},
+        "north_star_min": 15.0,
+        "beats_north_star": bool(train_wall <= 15 * 60 and
+                                 proc.returncode == 0),
+        "eval_interval_epochs": args.eval_interval,
+        "artifacts": artifacts,
+        "text": args.text,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,7 +43,8 @@ BASELINE_IT_S = 10000.0 / (15.0 * 60.0)  # 11.11 it/s
 def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
               backbone: str = "grid", fine_steps: int = 0,
               coarse_steps: int = 0, triplane_scales: int = 0,
-              grid_hash: str = "", split_step: bool = False):
+              grid_hash: str = "", split_step: bool = False,
+              grid_levels: int = 0, grid_features: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -81,6 +82,10 @@ def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
             extra["triplane_scales"] = triplane_scales
         if grid_hash:
             extra["grid_hash"] = grid_hash
+        if grid_levels:
+            extra["grid_levels"] = grid_levels
+        if grid_features:
+            extra["grid_features_per_level"] = grid_features
         if split_step:
             extra["split_step"] = True
         cfg = finalize(Config(
@@ -330,6 +335,10 @@ def main():
     ap.add_argument("--scales", type=int, default=0)
     ap.add_argument("--grid_hash", type=str, default="",
                     help="affine (default) | xor (tcnn-parity hashing)")
+    ap.add_argument("--grid_levels", type=int, default=0,
+                    help="hashgrid level count (default Config's 16)")
+    ap.add_argument("--grid_features", type=int, default=0,
+                    help="hashgrid features per level (default 2)")
     ap.add_argument("--backbone", type=str, default="triplane",
                 help="triplane (TPU-first flagship) | grid | vanilla")
     ap.add_argument("--split", action="store_true",
@@ -362,7 +371,9 @@ def main():
                             coarse_steps=args.coarse,
                             triplane_scales=args.scales,
                             grid_hash=args.grid_hash,
-                            split_step=args.split)
+                            split_step=args.split,
+                            grid_levels=args.grid_levels,
+                            grid_features=args.grid_features)
     # headline = MEDIAN of the timed repeats (VERDICT r2: best-of-3 hid a
     # below-north-star median); best + all repeats reported alongside.
     it_s = sorted(repeats)[len(repeats) // 2]

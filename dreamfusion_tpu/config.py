@@ -94,13 +94,18 @@ class Config:
     # + /tmp probe sweep, Aug 17): converged PSNR by fine_steps
     # 96→64.7 64→61.2 48→60.8 32→59.6 24→59.2 dB, and by coarse probe
     # (G=128-equivalent) 128→59.6 64→60.1 32→60.2 16→57.8 8→15.2 dB —
-    # 32/32 keeps full quality (the collapse is only below 16 probes);
-    # TPU it/s 6.9 (96/128) → 11.5 (32/32).
+    # the collapse is only below 16 probes; TPU it/s 6.9 (96/128) →
+    # 11.5 (32/32) → 12.5 (24/32).  Round-3 sweep on BOTH convergence
+    # targets: fine 24 vs 32 reads 58.6 vs 58.4 dB (sphere) and 55.2 vs
+    # 57.3 dB (two-sphere hard scene) — −2 dB on the hard target at
+    # PSNR levels far above SDS-generation fidelity, for +8.5% step rate.
+    # coarse=24 was also probed: it REGRESSED it/s (12.1 vs 12.5; probe
+    # shape 32 tiles better) — keep 32 probes.
     grid_coarse_steps: int = 32    # occupancy-probe samples per ray
     # network-evaluated samples per ray; importance-resampled into occupied
     # cells (so they concentrate where the reference's occupancy-marched
     # samples would land)
-    grid_fine_steps: int = 32
+    grid_fine_steps: int = 24
     occupancy_mode: str = "resample"  # resample | mask
 
     # ---- network arch (reference nerf/network_grid.py:24-66, network.py:89-148) ----
@@ -108,9 +113,17 @@ class Config:
     num_layers: int = 3
     hidden_dim_bg: int = 32
     num_layers_bg: int = 2
-    # hash grid (gridencoder defaults, encoding.py:68-76)
-    grid_levels: int = 16
-    grid_features_per_level: int = 2
+    # hash grid — TPU-first re-tiling of the reference's L16×C2 budget
+    # (gridencoder defaults, encoding.py:68-76): 8 levels × 4 features
+    # keeps the total feature count (32) and parameter budget while
+    # HALVING the gather/scatter row count per sample (row latency, not
+    # bandwidth, prices TPU encoder lookups — CLAUDE.md gotcha 3).
+    # Measured: equal convergence PSNR (58.1 vs 57.9 dB sphere target,
+    # L8C4 vs L16C2 at log2T=15) and 2.83 vs 2.19 it/s on the TPU bench.
+    # Bitwise tcnn parity: --grid_levels 16 --grid_features_per_level 2
+    # --grid_hash xor.
+    grid_levels: int = 8
+    grid_features_per_level: int = 4
     grid_log2_hashmap_size: int = 19
     grid_base_resolution: int = 16
     grid_desired_resolution: int = 2048

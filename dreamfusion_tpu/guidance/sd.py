@@ -27,6 +27,10 @@ from .perpneg import weighted_perpendicular_aggregator
 from .schedule import NoiseSchedule, make_schedule
 from ..ops.resize import resize_bilinear
 
+# probe knob: remat the VAE encoder (see encode_imgs docstring)
+import os as _os
+_REMAT_ENCODE = _os.environ.get("DFTPU_REMAT_VAE", "0") == "1"
+
 
 @dataclass(frozen=True)
 class SDConfig:
@@ -132,10 +136,20 @@ class StableDiffusionGuidance:
 
     # ---- VAE helpers ----------------------------------------------------
     def encode_imgs(self, params, key, imgs: jax.Array) -> jax.Array:
-        """[B, H, W, 3] in [0,1] → scaled latents. Differentiable."""
-        moments = self.vae.apply({"params": params["vae"]}, imgs * 2.0 - 1.0,
-                                 method=self.vae.encode)
-        return moments.sample(key) * self.vae.cfg.scale_factor
+        """[B, H, W, 3] in [0,1] → scaled latents. Differentiable.
+
+        _REMAT_ENCODE (env DFTPU_REMAT_VAE=1) reruns the encoder forward
+        during the backward instead of saving residuals — a probe knob for
+        the ~12 ms whole-graph VAE-backward scheduling overhead
+        (CLAUDE.md gotcha 13).  Measured: OFF is faster (see README perf
+        dead-end table); kept as a switch for future HBM-pressure cases."""
+        def enc(x):
+            moments = self.vae.apply({"params": params["vae"]},
+                                     x * 2.0 - 1.0, method=self.vae.encode)
+            return moments.sample(key) * self.vae.cfg.scale_factor
+        if _REMAT_ENCODE:
+            enc = jax.checkpoint(enc)
+        return enc(imgs)
 
     def decode_latents(self, params, latents: jax.Array) -> jax.Array:
         imgs = self.vae.apply({"params": params["vae"]}, latents,

@@ -101,7 +101,13 @@ def build_parser() -> argparse.ArgumentParser:
         elif isinstance(getattr(defaults, f.name), float):
             p.add_argument(arg, type=float, default=None)
         else:
-            p.add_argument(arg, type=str, default=None)
+            # None-default fields: infer the type from the annotation
+            # (Optional[int] --seed must parse as int — a string seed
+            # crashes np.random.seed deep in main())
+            ann = str(f.type)
+            typ = int if "int" in ann else (
+                float if "float" in ann else str)
+            p.add_argument(arg, type=typ, default=None)
     p.add_argument("--guidance", type=str, nargs="*", default=None)
     return p
 

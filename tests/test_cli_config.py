@@ -170,3 +170,15 @@ def test_full_reference_flag_surface():
     # flags must land as True (the ADVICE round-2 finding)
     assert cfg.fp16 and cfg.jitter_pose and cfg.progressive_view
     assert cfg.progressive_level and cfg.save_guidance
+
+
+def test_none_default_int_flags_parse_typed():
+    """Optional[int]/Optional[float] config fields (seed, max_spp, ...)
+    must parse as numbers, not strings — a str seed crashes
+    np.random.seed at run start (round-3 regression)."""
+    from dreamfusion_tpu.main import build_parser, config_from_args
+    args = build_parser().parse_args(
+        ["--text", "x", "--seed", "3", "--exp_start_iter", "10"])
+    cfg = config_from_args(args)
+    assert cfg.seed == 3 and isinstance(cfg.seed, int)
+    assert cfg.exp_start_iter == 10 and isinstance(cfg.exp_start_iter, int)

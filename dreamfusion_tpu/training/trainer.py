@@ -491,7 +491,55 @@ class Trainer:
                 metrics["grad_ok"] = jnp.isfinite(optax.global_norm(grads))
                 return new_state, metrics
 
+            # ---- scan block: K steps in ONE dispatched program ----------
+            # The 10k-step run measured ~20 ms/step of host/tunnel dispatch
+            # overhead (~200 s over a full run — RUN_r03.json phases) when
+            # every step is its own RPC.  A lax.scan over the log interval
+            # turns 100 step dispatches + 6 grid-update dispatches into one
+            # program dispatch; the density-grid update rides inside the
+            # body under lax.cond at the same step alignment.
+            K = max(int(cfg.dataset_size_train), 1)
+            needs_grid = self.needs_density_grid
+
+            def _grid_update_inline(state: TrainState,
+                                    key: jax.Array) -> TrainState:
+                def density_fn(x):
+                    return renderer.apply({"params": state.params}, x,
+                                          method=renderer.density)["sigma"]
+                new_grid, mean_d, occ = update_density_grid(
+                    key, state.density_grid, density_fn, cfg.bound,
+                    decay=0.95, density_thresh=cfg.density_thresh,
+                    grid_size=cfg.grid_size)
+                return state.replace(density_grid=new_grid,
+                                     mean_density=mean_d, occ_grid=occ)
+
+            @jax.jit
+            def train_block(state: TrainState, key: jax.Array, gparams,
+                            embs):
+                def body(state, i):
+                    k = jax.random.fold_in(key, i)
+                    if needs_grid:
+                        kg = jax.random.fold_in(k, 0x9e3779b9)
+                        state = jax.lax.cond(
+                            state.step % cfg.update_extra_interval == 0,
+                            lambda s: _grid_update_inline(s, kg),
+                            lambda s: s, state)
+                    (loss, metrics), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(state.params, state, k,
+                                               gparams, embs)
+                    new_state = apply_updates_guarded(
+                        self.optimizer, self.cfg, state, grads)
+                    metrics["grad_ok"] = jnp.isfinite(
+                        optax.global_norm(grads))
+                    return new_state, metrics
+                state, ms = jax.lax.scan(body, state, jnp.arange(K))
+                # last-step scalars for logging (tiny transfer)
+                return state, jax.tree.map(lambda x: x[-1], ms)
+
             fn = lambda state, key: train_step(state, key, gp_dev, emb_dev)
+            fn.block = lambda state, key: train_block(state, key, gp_dev,
+                                                      emb_dev)
+            fn.block_size = K
             # expose the jit + its bound guidance args for AOT lowering
             # (scripts/probe_cache_fingerprint.py, scripts/warm_cache.py)
             fn.jitted, fn.gp_dev, fn.emb_dev = train_step, gp_dev, emb_dev
@@ -731,23 +779,42 @@ class Trainer:
         first_iter = True
         exp_end = cfg.exp_end_iter or cfg.iters
         exp_start = cfg.exp_start_iter or 0
+
+        def phase_at(step: int) -> str:
+            r = (step - exp_start) / max(exp_end - exp_start, 1)
+            return "latent" if (r <= cfg.latent_iter_ratio and
+                                self._train_step_latent) else "main"
+
         while self.global_step < max_steps:
             key, k_step, k_grid = jax.random.split(key, 3)
 
             t_iter = time.time()
-            if self.needs_density_grid and \
-                    self.global_step % cfg.update_extra_interval == 0:
-                state = self._update_grid_fn(state, k_grid)
-
-            r_exp = (self.global_step - exp_start) / max(exp_end - exp_start, 1)
-            if self._known_view_step is not None and \
-                    self.global_step % cfg.known_view_interval == 0:
-                state, metrics = self._known_view_step(state, k_step)
-            elif r_exp <= cfg.latent_iter_ratio and self._train_step_latent:
-                state, metrics = self._train_step_latent(state, k_step)
+            s = self.global_step
+            prog = self._train_step_latent if phase_at(s) == "latent" \
+                else self._train_step_main
+            blk = getattr(prog, "block", None)
+            K = getattr(prog, "block_size", 0)
+            if (blk is not None and self._known_view_step is None and
+                    K > 1 and s % K == 0 and s + K <= max_steps and
+                    phase_at(s) == phase_at(s + K - 1)):
+                # scan block: K steps (+ their aligned density-grid
+                # updates) in one dispatched program — per-step host/RPC
+                # dispatch cost measured ~20 ms through the tunnel
+                state, metrics = blk(state, k_step)
+                self.global_step += K
             else:
-                state, metrics = self._train_step_main(state, k_step)
-            self.global_step += 1
+                if self.needs_density_grid and \
+                        self.global_step % cfg.update_extra_interval == 0:
+                    state = self._update_grid_fn(state, k_grid)
+
+                if self._known_view_step is not None and \
+                        self.global_step % cfg.known_view_interval == 0:
+                    state, metrics = self._known_view_step(state, k_step)
+                elif phase_at(s) == "latent":
+                    state, metrics = self._train_step_latent(state, k_step)
+                else:
+                    state, metrics = self._train_step_main(state, k_step)
+                self.global_step += 1
             if first_iter:
                 # jit dispatch blocks through trace+compile (cached
                 # thereafter), so the first iteration's wall is ~compile

@@ -364,3 +364,27 @@ def test_clip_eval_metric_for_text_only(tmp_path, tiny_guidance):
     assert tr.stats["best_result"] == m
     tr.save_checkpoint(state, full=False, metric=m - 1.0)
     assert tr.stats["best_result"] == m
+
+
+def test_scan_block_training_path(tmp_path, tiny_guidance):
+    """When steps align with the log cadence, train() dispatches ONE
+    scan-block program per dataset_size_train steps (grid updates ride
+    inside under lax.cond).  Exercises both phases (latent+main blocks)
+    with a non-dividing update interval."""
+    g, gparams, emb = tiny_guidance
+    cfg = tiny_config(tmp_path, backbone="grid", iters=8,
+                      dataset_size_train=4, update_extra_interval=3,
+                      latent_iter_ratio=0.5)
+    tr = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gparams},
+                 embeddings={"SD": emb})
+    assert tr is not None
+    state = tr.init_state(jax.random.PRNGKey(0))
+    state = tr.train(state, max_steps=8)
+    assert int(state.step) == 8
+    assert tr.global_step == 8
+    assert all(np.isfinite(l) for l in tr.stats["loss"])
+    # the in-block lax.cond grid updates ran (mean_density got populated)
+    assert float(state.mean_density) > 0
+    # the block fast-path was actually built for this config
+    assert getattr(tr._train_step_main, "block", None) is not None
+    assert tr._train_step_main.block_size == 4

@@ -154,13 +154,16 @@ def _timed_repeats(step_fn, state, steps: int, note, update_grid=None,
     import time as _t
 
     import jax
+    # one base key per block: the jitted step folds state.step internally,
+    # so re-passing the same buffers costs zero per-step host RNG RPCs
+    # (mirrors Trainer.train's dispatch pattern)
     warm_n = max(3, min(steps // 2, 8))
     prev = 0.0
     for wrep in range(6):
+        kb = jax.random.PRNGKey(50 + wrep)
         t0 = _t.time()
         for i in range(warm_n):
-            state, metrics = step_fn(
-                state, jax.random.PRNGKey(50 + 100 * wrep + i))
+            state, metrics = step_fn(state, kb)
         float(metrics["loss"])
         rate = warm_n / (_t.time() - t0)
         note(f"warm block {wrep}: {rate:.3f} it/s")
@@ -169,13 +172,12 @@ def _timed_repeats(step_fn, state, steps: int, note, update_grid=None,
         prev = rate
     repeats = []
     for rep in range(3):
+        kb = jax.random.PRNGKey(200 + rep)
         t0 = _t.time()
         for i in range(steps):
             if update_grid is not None and i % update_interval == 0:
-                state = update_grid(
-                    state, jax.random.PRNGKey(100 + 1000 * rep + i))
-            state, metrics = step_fn(
-                state, jax.random.PRNGKey(200 + 1000 * rep + i))
+                state = update_grid(state, kb)
+            state, metrics = step_fn(state, kb)
         float(metrics["loss"])
         dt = _t.time() - t0
         note(f"repeat {rep}: {steps / dt:.3f} it/s")

@@ -242,6 +242,16 @@ class Config:
                                   # fused step: slower steady-state, but
                                   # render-knob changes skip the big
                                   # guidance cold compile
+    scan_blocks: bool = False     # dispatch lax.scan blocks of
+                                  # dataset_size_train steps instead of
+                                  # per-step programs.  Measured DEAD END
+                                  # on the tunnel backend (RUN_r03_cold:
+                                  # ~90 ms/step in-scan vs ~80 ms
+                                  # pipelined per-step — the per-step
+                                  # dispatch cost is overlapped, and the
+                                  # scan serializes async-save device
+                                  # reads behind 8 s blocks); kept for
+                                  # direct-attached-TPU hosts
 
     # ---- precision ----
     compute_dtype: str = "bfloat16"   # activations in bf16, params fp32

@@ -181,6 +181,8 @@ class DMTetTrainer(Trainer):
 
         @jax.jit
         def train_step(state: DMTetState, key: jax.Array, gparams, embs):
+            # per-step stream derived in-jit (see Trainer._make_train_step)
+            key = jax.random.fold_in(key, state.step)
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, state, key, gparams,
                                        embs)
@@ -247,6 +249,7 @@ class DMTetTrainer(Trainer):
 
         @jax.jit
         def known_view_step(state: DMTetState, key: jax.Array):
+            key = jax.random.fold_in(key, state.step)
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, state, key)
             if cfg.lock_geo:

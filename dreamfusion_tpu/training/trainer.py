@@ -43,7 +43,7 @@ from ..ops.occupancy import update_density_grid
 from ..core.math import clip_grad
 from ..utils.image import colorize_depth, save_image, save_video
 from . import schedules
-from .data import CameraBatch, circle_view_batch, sample_train_batch, six_view_batch
+from .data import CameraBatch, sample_train_batch
 from .optimizer import build_optimizer
 
 
@@ -483,6 +483,12 @@ class Trainer:
 
             @jax.jit
             def train_step(state: TrainState, key: jax.Array, gparams, embs):
+                # per-step stream derived INSIDE the jit from (base key,
+                # state.step): the host loop re-dispatches identical args
+                # every step — zero per-step host-side RNG RPCs through
+                # the tunnel, and (base seed, step) reproducibility that
+                # survives resume
+                key = jax.random.fold_in(key, state.step)
                 (loss, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(state.params, state, key, gparams,
                                            embs)
@@ -517,7 +523,7 @@ class Trainer:
             def train_block(state: TrainState, key: jax.Array, gparams,
                             embs):
                 def body(state, i):
-                    k = jax.random.fold_in(key, i)
+                    k = jax.random.fold_in(key, state.step)
                     if needs_grid:
                         kg = jax.random.fold_in(k, 0x9e3779b9)
                         state = jax.lax.cond(
@@ -546,8 +552,11 @@ class Trainer:
             return fn
 
         # ---- split-step: three programs (see docstring) -----------------
+        # all three fold the base key with state.step exactly like the
+        # fused path, so fused == split holds with identical inputs
         @jax.jit
         def render_fwd(state: TrainState, key: jax.Array):
+            key = jax.random.fold_in(key, state.step)
             pred_rgb, _, _, _ = render_part(state.params, state, key)
             return pred_rgb
 
@@ -556,6 +565,7 @@ class Trainer:
             # rebuild the batch the render program drew (same k_batch);
             # only the camera scalars feed the guidance (view-dependent
             # prompting / zero123 deltas), not the rays
+            key = jax.random.fold_in(key, step)
             k_batch = jax.random.split(key, 5)[0]
             batch, _ = make_batch(k_batch, step)
             sds, cot = jax.value_and_grad(
@@ -565,6 +575,8 @@ class Trainer:
 
         @jax.jit
         def render_bwd_update(state: TrainState, key: jax.Array, sds, cot):
+            key = jax.random.fold_in(key, state.step)
+
             def pseudo_loss(params):
                 # <pred_rgb, cot> has exactly the SDS loss's param gradient;
                 # the render forward is recomputed here (cheaper than
@@ -676,6 +688,7 @@ class Trainer:
 
         @jax.jit
         def known_view_step(state: TrainState, key: jax.Array):
+            key = jax.random.fold_in(key, state.step)
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, state, key)
             new_state = apply_updates_guarded(self.optimizer, self.cfg,
@@ -692,6 +705,10 @@ class Trainer:
 
         @jax.jit
         def update_grid(state: TrainState, key: jax.Array) -> TrainState:
+            # distinct stream from the train step at the same state.step
+            key = jax.random.fold_in(
+                jax.random.fold_in(key, state.step), 0x9e3779b9)
+
             def density_fn(x):
                 return renderer.apply({"params": state.params}, x,
                                       method=renderer.density)["sigma"]
@@ -755,6 +772,37 @@ class Trainer:
             fn = self._eval_fns[(H, W)] = self._make_eval_fn(H, W)
         return fn
 
+    def _get_view_fn(self, H: int, W: int):
+        """ONE jitted program per eval/test view: pose → rays → chunked
+        render, all on device.  The previous path built the camera batch
+        eagerly (circle_view_batch's dozens of tiny jnp ops each cost a
+        tunnel round trip — measured ~11 s per 800² test frame for ~1 s
+        of render); this takes 4 scalars and dispatches once."""
+        key2 = ("view", H, W)
+        fn = self._eval_fns.get(key2)
+        if fn is None:
+            from ..core.poses import circle_poses
+            from ..core.rays import get_rays, intrinsics_from_fov
+            cfg = self.cfg
+            render_chunked = self._get_eval_fn(H, W)
+
+            @jax.jit
+            def view_fn(params, occ_grid, radius, polar, phi, key):
+                poses, _ = circle_poses(
+                    jnp.atleast_1d(radius), jnp.atleast_1d(polar),
+                    jnp.atleast_1d(phi),
+                    angle_overhead=cfg.angle_overhead,
+                    angle_front=cfg.angle_front)
+                intr = intrinsics_from_fov(
+                    jnp.asarray(cfg.default_fovy, jnp.float32), H, W)
+                ro, rd = get_rays(poses, intr, H, W)
+                return render_chunked(params, occ_grid,
+                                      ro.reshape(-1, 3), rd.reshape(-1, 3),
+                                      key)
+
+            fn = self._eval_fns[key2] = view_fn
+        return fn
+
     # ------------------------------------------------------------------
     def train(self, state: TrainState, max_steps: Optional[int] = None
               ) -> TrainState:
@@ -785,16 +833,20 @@ class Trainer:
             return "latent" if (r <= cfg.latent_iter_ratio and
                                 self._train_step_latent) else "main"
 
+        # ONE base key for the whole run: every jitted program folds it
+        # with state.step internally, so the loop dispatches the exact
+        # same argument buffers each iteration (no per-step RNG RPCs;
+        # (seed, step)-reproducible across resumes)
+        k_step = k_grid = key
         while self.global_step < max_steps:
-            key, k_step, k_grid = jax.random.split(key, 3)
-
             t_iter = time.time()
             s = self.global_step
             prog = self._train_step_latent if phase_at(s) == "latent" \
                 else self._train_step_main
             blk = getattr(prog, "block", None)
             K = getattr(prog, "block_size", 0)
-            if (blk is not None and self._known_view_step is None and
+            if (cfg.scan_blocks and blk is not None and
+                    self._known_view_step is None and
                     K > 1 and s % K == 0 and s + K <= max_steps and
                     phase_at(s) == phase_at(s + K - 1)):
                 # scan block: K steps (+ their aligned density-grid
@@ -891,12 +943,10 @@ class Trainer:
         (overridden by DMTetTrainer to go through the rasterizer)."""
         cfg = self.cfg
         H, W = cfg.h, cfg.w
-        eval_fn = self._get_eval_fn(H, W)
-        batch = circle_view_batch(cfg, 0, 4, H, W)
+        view_fn = self._get_view_fn(H, W)
         key = jax.random.PRNGKey(self.global_step)
-        img, _, _ = eval_fn(
-            state.ema_params, state.occ_grid,
-            batch.rays_o.reshape(-1, 3), batch.rays_d.reshape(-1, 3), key)
+        img, _, _ = view_fn(state.ema_params, state.occ_grid,
+                            cfg.default_radius, cfg.default_polar, 0.0, key)
         return np.asarray(img).reshape(H, W, 3)
 
     def save_guidance_snapshot(self, state: TrainState):
@@ -954,13 +1004,12 @@ class Trainer:
         cfg = self.cfg
         H, W = cfg.H, cfg.W
         n_views = n_views or min(cfg.dataset_size_valid, 4)
-        eval_fn = self._get_eval_fn(H, W)
+        view_fn = self._get_view_fn(H, W)
         key = jax.random.PRNGKey(42)
         for i in range(n_views):
-            batch = circle_view_batch(cfg, i, n_views, H, W)
-            img, depth, _ = eval_fn(
-                state.ema_params, state.occ_grid,
-                batch.rays_o.reshape(-1, 3), batch.rays_d.reshape(-1, 3), key)
+            img, depth, _ = view_fn(
+                state.ema_params, state.occ_grid, cfg.default_radius,
+                cfg.default_polar, (i / n_views) * 360.0, key)
             img = np.asarray(img).reshape(H, W, 3)
             save_image(os.path.join(
                 self.workspace, "validation",
@@ -988,7 +1037,7 @@ class Trainer:
         g, gp, clip_z = self._clip_scorer
         cfg = self.cfg
         H, W = cfg.h, cfg.w
-        eval_fn = self._get_eval_fn(H, W)
+        eval_fn = self._get_view_fn(H, W)
         if self._clip_score_fn is None:
             target = clip_z.get("text", clip_z.get("image"))
 
@@ -1001,10 +1050,9 @@ class Trainer:
         n_views = min(self.cfg.dataset_size_valid, 4)
         imgs = []
         for i in range(n_views):
-            batch = circle_view_batch(cfg, i, n_views, H, W)
             img, _, _ = eval_fn(
-                state.ema_params, state.occ_grid,
-                batch.rays_o.reshape(-1, 3), batch.rays_d.reshape(-1, 3),
+                state.ema_params, state.occ_grid, cfg.default_radius,
+                cfg.default_polar, (i / n_views) * 360.0,
                 jax.random.PRNGKey(42))
             imgs.append(img.reshape(H, W, 3))
         target = clip_z.get("text", clip_z.get("image"))
@@ -1020,18 +1068,14 @@ class Trainer:
             if self._clip_scorer is not None:
                 return self._clip_eval_metric(state)
             return None
-        from .data import default_view_batch
         cfg = self.cfg
         Hs, Ws = ref.rgb.shape[1:3]
-        kv = default_view_batch(cfg, ref.radii, ref.polars, ref.azimuths,
-                                Hs, Ws)
-        eval_fn = self._get_eval_fn(Hs, Ws)
+        eval_fn = self._get_view_fn(Hs, Ws)
         mses = []
         for k in range(ref.rgb.shape[0]):
             img, _, _ = eval_fn(
-                state.ema_params, state.occ_grid,
-                kv.rays_o[k].reshape(-1, 3), kv.rays_d[k].reshape(-1, 3),
-                jax.random.PRNGKey(42))
+                state.ema_params, state.occ_grid, ref.radii[k],
+                ref.polars[k], ref.azimuths[k], jax.random.PRNGKey(42))
             pred = np.asarray(img).reshape(Hs, Ws, 3)
             m = np.asarray(ref.mask[k], dtype=np.float32)[..., None]
             se = ((pred - np.asarray(ref.rgb[k])) ** 2) * m
@@ -1046,16 +1090,17 @@ class Trainer:
         utils.py:838-887 renders test frames at --H×--W)."""
         cfg = self.cfg
         H, W = cfg.H, cfg.W
-        eval_fn = self._get_eval_fn(H, W)
+        view_fn = self._get_view_fn(H, W)
         key = jax.random.PRNGKey(42)
         frames, depths = [], []
         n = 6 if six_views else (n_frames or cfg.dataset_size_test)
+        from .data import SIX_VIEW_PHIS, SIX_VIEW_THETAS
         for i in range(n):
-            batch = six_view_batch(cfg, i, H, W) if six_views else \
-                circle_view_batch(cfg, i, n, H, W)
-            img, depth, _ = eval_fn(
-                state.ema_params, state.occ_grid,
-                batch.rays_o.reshape(-1, 3), batch.rays_d.reshape(-1, 3), key)
+            polar = SIX_VIEW_THETAS[i] if six_views else cfg.default_polar
+            phi = SIX_VIEW_PHIS[i] if six_views else (i / n) * 360.0
+            img, depth, _ = view_fn(
+                state.ema_params, state.occ_grid, cfg.default_radius,
+                polar, phi, key)
             frames.append(np.asarray(img).reshape(H, W, 3))
             depths.append(np.asarray(depth).reshape(H, W))
         rd = os.path.join(self.workspace, "results")

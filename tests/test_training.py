@@ -374,7 +374,7 @@ def test_scan_block_training_path(tmp_path, tiny_guidance):
     g, gparams, emb = tiny_guidance
     cfg = tiny_config(tmp_path, backbone="grid", iters=8,
                       dataset_size_train=4, update_extra_interval=3,
-                      latent_iter_ratio=0.5)
+                      latent_iter_ratio=0.5, scan_blocks=True)
     tr = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gparams},
                  embeddings={"SD": emb})
     assert tr is not None

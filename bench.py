@@ -106,9 +106,8 @@ def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
     gp = g.init_params(key)
     if not smoke:
         # frozen guidance in bf16 (reference runs fp16 guidance, main.py:172)
-        gp = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, gp)
+        from dreamfusion_tpu.utils.params import cast_f32_fused
+        gp = cast_f32_fused(gp, jnp.bfloat16)
     emb = prepare_text_embeddings(g, gp, cfg.text)
     emb = {k: v.astype(jnp.float32) for k, v in emb.items()}
 
@@ -225,9 +224,8 @@ def run_bench_dmtet(steps: int = 20, smoke: bool = False):
     note("init guidance params...")
     gp = g.init_params(key)
     if not smoke:
-        gp = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, gp)
+        from dreamfusion_tpu.utils.params import cast_f32_fused
+        gp = cast_f32_fused(gp, jnp.bfloat16)
     emb = prepare_text_embeddings(g, gp, cfg.text)
     emb = {k: v.astype(jnp.float32) for k, v in emb.items()}
     tr = DMTetTrainer(cfg, guidances={"SD": g}, guidance_params={"SD": gp},
@@ -300,9 +298,8 @@ def run_bench_zero123(steps: int = 20, smoke: bool = False):
     note("init zero123 params...")
     gp = g.init_params(key)
     if not smoke:
-        gp = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, gp)
+        from dreamfusion_tpu.utils.params import cast_f32_fused
+        gp = cast_f32_fused(gp, jnp.bfloat16)
     emb = g.prepare_image_embeddings(gp, ref.rgb, ref.polars, ref.azimuths,
                                      ref.radii, ref.weights)
     tr = Trainer(cfg, guidances={"zero123": g},

@@ -143,6 +143,10 @@ class IFGuidance:
         import numpy as np
 
         t5p = params.get("t5") if isinstance(params, dict) else None
+        if t5p is not None:
+            # upload the T5 tower once; host-side (numpy) leaves would be
+            # re-transferred on every encode_text call below
+            t5p = jax.device_put(t5p)
 
         def embed(t: str) -> jax.Array:
             if t5p is not None:

@@ -78,10 +78,15 @@ def prepare_text_embeddings(
     tok = load_tokenizer(pretrained_root, tcfg.vocab_size, tcfg.max_len)
     embed = jax.jit(guidance.get_text_embeds)
 
+    # get_text_embeds touches only params["text"]; device_put THAT subtree
+    # once and reuse it for all 5 prompts.  Passing the whole host-side
+    # gparams tree re-uploaded the full ~4 GB f32 guidance tower per call
+    # (5 calls ≈ 21 GB through the tunnel — measured ~190 s of startup).
+    tp = {"text": jax.device_put(gparams["text"])}
     out = {
-        "default": embed(gparams, jnp.asarray(tok(text))),
-        "uncond": embed(gparams, jnp.asarray(tok(negative))),
+        "default": embed(tp, jnp.asarray(tok(text))),
+        "uncond": embed(tp, jnp.asarray(tok(negative))),
     }
     for d, suffix in DIRECTION_SUFFIXES.items():
-        out[d] = embed(gparams, jnp.asarray(tok(f"{text}, {suffix}")))
+        out[d] = embed(tp, jnp.asarray(tok(f"{text}, {suffix}")))
     return out

@@ -219,9 +219,9 @@ def build_guidance(cfg: Config, tiny: bool = False, ref_images=None):
         # fp32 keeps their bits identical across runs for the compile-cache
         # fingerprint (CLAUDE.md gotcha 12)
         import jax.numpy as jnp
-        gparams = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, gparams)
+
+        from .utils.params import cast_f32_fused
+        gparams = cast_f32_fused(gparams, jnp.bfloat16)
         embeddings = jax.tree.map(
             lambda x: x.astype(jnp.float32)
             if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
@@ -253,11 +253,15 @@ def main(argv=None):
         from .training.image_data import load_ref_images
         ref_images = load_ref_images(cfg, cfg.h, cfg.w)
 
+    import time as _time
     needs_guidance = not cfg.test
     guidances, gparams, embeddings = ({}, {}, {})
     if needs_guidance:
+        _t = _time.time()
         guidances, gparams, embeddings = build_guidance(
             cfg, tiny=args.tiny_guidance, ref_images=ref_images)
+        print(f"[startup] guidance built in {_time.time() - _t:.1f}s",
+              flush=True)
 
     if cfg.dmtet:
         from .training.dmtet_trainer import DMTetTrainer
@@ -268,10 +272,13 @@ def main(argv=None):
         state = trainer.init_state(jax.random.PRNGKey(cfg.seed or 0),
                                    nerf_ckpt=cfg.init_with)
     else:
+        _t = _time.time()
         trainer = Trainer(cfg, guidances=guidances, guidance_params=gparams,
                           embeddings=embeddings, mesh=mesh,
                           ref_images=ref_images)
         state = trainer.init_state(jax.random.PRNGKey(cfg.seed or 0))
+        print(f"[startup] trainer+state init in {_time.time() - _t:.1f}s",
+              flush=True)
     if cfg.ckpt != "scratch":
         state, loaded = trainer.load_checkpoint(state, cfg.ckpt)
         if loaded:

@@ -234,25 +234,41 @@ class Trainer:
     def init_state(self, key: jax.Array) -> TrainState:
         cfg = self.cfg
         H = W = 8  # shapes don't matter for init
-        ro = jnp.zeros((H * W, 3))
-        rd = jnp.ones((H * W, 3))
-        occ = jnp.ones((cfg.cascade, cfg.grid_size, cfg.grid_size,
-                        cfg.grid_size), bool)
-        variables = self.renderer.init(
-            {"params": key, "render": key}, RenderFlags(), ro, rd,
-            occ_grid=occ if cfg.backbone in ("grid", "triplane") else None,
-            method=self.renderer.render)
-        params = variables["params"]
-        opt_state = self.optimizer.init(params)
-        state = TrainState(
-            params=params,
-            opt_state=opt_state,
-            ema_params=params,
-            density_grid=jnp.zeros((cfg.cascade, cfg.grid_size ** 3)),
-            mean_density=jnp.zeros(()),
-            occ_grid=occ,
-            step=jnp.zeros((), jnp.int32),
-        )
+
+        def build(k):
+            ro = jnp.zeros((H * W, 3))
+            rd = jnp.ones((H * W, 3))
+            occ = jnp.ones((cfg.cascade, cfg.grid_size, cfg.grid_size,
+                            cfg.grid_size), bool)
+            variables = self.renderer.init(
+                {"params": k, "render": k}, RenderFlags(), ro, rd,
+                occ_grid=occ if cfg.backbone in ("grid", "triplane")
+                else None,
+                method=self.renderer.render)
+            params = variables["params"]
+            opt_state = self.optimizer.init(params)
+            return TrainState(
+                params=params,
+                opt_state=opt_state,
+                ema_params=params,
+                density_grid=jnp.zeros((cfg.cascade, cfg.grid_size ** 3)),
+                mean_density=jnp.zeros(()),
+                occ_grid=occ,
+                step=jnp.zeros((), jnp.int32),
+            )
+
+        if jax.default_backend() == "cpu":
+            # local CPU: eager tiny-op init is fast and keeps per-test
+            # compile work minimal
+            state = build(key)
+        else:
+            # accelerator behind the remote-compile tunnel: flax init +
+            # optimizer init are a swarm of tiny eager ops and EVERY op is
+            # a remote compile/cache-load round trip (measured: 112 s of
+            # startup on the TPU default device; the in-process CPU
+            # backend is no escape — its compiles route through the same
+            # helper).  One fused jitted program = one round trip.
+            state = jax.jit(build)(key)
         if self.mesh is not None:
             from ..parallel.mesh import replicate_tree
             state = replicate_tree(self.mesh, state)
@@ -821,6 +837,16 @@ class Trainer:
             else:
                 self._known_view_step = None
 
+        # upload the frozen guidance towers before the loop so the cost is
+        # attributed (device_put of ~2 GB bf16 through the tunnel is part of
+        # startup, not of the first timed block)
+        t_up = time.time()
+        self._guidance_params_on_device()
+        self._embeddings_on_device()
+        self.time_stats["gp_upload_dispatch"] = time.time() - t_up
+        self.log(f"[startup] guidance device_put dispatched in "
+                 f"{self.time_stats['gp_upload_dispatch']:.1f}s")
+
         t0 = time.time()
         loss_accum, n_accum = 0.0, 0
         start = self.global_step
@@ -871,6 +897,12 @@ class Trainer:
                 # jit dispatch blocks through trace+compile (cached
                 # thereafter), so the first iteration's wall is ~compile
                 self.time_stats["first_iter_dispatch"] = time.time() - t_iter
+                t_f = time.time()
+                _ = float(metrics["loss"])  # fences param upload + 1st step
+                self.time_stats["first_iter_fence"] = time.time() - t_f
+                self.log(f"[startup] first iter: dispatch "
+                         f"{self.time_stats['first_iter_dispatch']:.1f}s, "
+                         f"fence {self.time_stats['first_iter_fence']:.1f}s")
                 first_iter = False
 
             if self.global_step % cfg.dataset_size_train == 0 or \

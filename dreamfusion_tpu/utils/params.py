@@ -13,13 +13,35 @@ def fast_random_params(init_fn, *init_args, seed: int = 0,
                        scale: float = 0.02, dtype=np.float32):
     """Shape-faithful random params WITHOUT compiling the init program.
 
-    `jax.eval_shape` traces init_fn abstractly (no device compute), then the
-    pytree is filled host-side with small gaussian values.  For frozen
-    guidance towers (SDS never trains them) this is exactly as good as the
-    real flax init when no pretrained weights exist — and avoids minutes of
-    XLA-compiling a billion-parameter init graph through a remote-compile
-    tunnel."""
+    `jax.eval_shape` traces init_fn abstractly (no device compute); then the
+    pytree is filled with small gaussian values.  For frozen guidance towers
+    (SDS never trains them) this is exactly as good as the real flax init
+    when no pretrained weights exist — and avoids minutes of XLA-compiling a
+    billion-parameter init graph through a remote-compile tunnel.
+
+    On an accelerator backend the fill runs ON DEVICE as one jitted
+    program (a flat tree of fold_in + normal): host-side numpy fill would
+    have to upload the ~4 GB result through the tunnel at the measured
+    ~25 MB/s (≈160 s per tower).  On CPU the numpy path is faster and
+    keeps tests deterministic with historic values."""
     shapes = jax.eval_shape(init_fn, *init_args)
+    if jax.default_backend() != "cpu":
+        leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+        @jax.jit
+        def gen(key):
+            out = []
+            for i, s in enumerate(leaves):
+                if np.issubdtype(s.dtype, np.floating):
+                    k = jax.random.fold_in(key, i)
+                    out.append(jax.random.normal(k, s.shape,
+                                                 jnp.dtype(dtype)) * scale)
+                else:
+                    out.append(jnp.zeros(s.shape, s.dtype))
+            return out
+        return jax.tree_util.tree_unflatten(
+            treedef, gen(jax.random.PRNGKey(seed)))
+
     rng = np.random.default_rng(seed)
 
     def fill(s):
@@ -28,6 +50,24 @@ def fast_random_params(init_fn, *init_args, seed: int = 0,
         return np.zeros(s.shape, s.dtype)
 
     return jax.tree.map(fill, shapes)
+
+
+def cast_f32_fused(tree, dtype):
+    """Cast every f32 leaf of `tree` to `dtype`.  If the leaves already
+    live on an accelerator the cast runs as ONE jitted program (per-leaf
+    eager astype = ~1 tunnel dispatch per leaf, ~700 for an SD tower);
+    host numpy trees are cast in place host-side (cheaper to ship
+    2 bytes/param than 4 on the eventual upload)."""
+    def _cast(t):
+        return jax.tree.map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+
+    leaves = jax.tree_util.tree_leaves(tree)
+    if leaves and isinstance(leaves[0], jax.Array) and \
+            jax.default_backend() != "cpu":
+        return jax.jit(_cast)(tree)
+    return _cast(tree)
 
 
 def cast_floating(tree, dtype):

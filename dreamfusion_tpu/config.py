@@ -27,6 +27,12 @@ class Config:
     test: bool = False
     six_views: bool = False
     eval_interval: int = 1
+    # epochs between rolling full checkpoints.  1 = reference parity
+    # (save_checkpoint every epoch, utils.py:1090); long TPU runs raise it:
+    # each save device_gets the full train state through the ~4 MB/s
+    # tunnel, stealing download bandwidth from the training stream even
+    # when async
+    save_interval: int = 1
     test_interval: int = 100
     save_mesh: bool = False
     mcubes_resolution: int = 256

@@ -335,10 +335,14 @@ def main(argv=None):
             state = trainer.train(
                 state, max_steps=min(cfg.iters, cfg.dataset_size_train))
     state = trainer.train(state, max_steps=cfg.iters)
+    _t = _time.time()
     trainer.test(state)
+    trainer.record_phase("test_video", _time.time() - _t)
     if cfg.save_mesh:
         from .mesh.export import export_mesh
+        _t = _time.time()
         export_mesh(trainer, state, os.path.join(trainer.workspace, "mesh"))
+        trainer.record_phase("mesh_export", _time.time() - _t)
 
 
 if __name__ == "__main__":

@@ -788,13 +788,19 @@ class Trainer:
             fn = self._eval_fns[(H, W)] = self._make_eval_fn(H, W)
         return fn
 
-    def _get_view_fn(self, H: int, W: int):
+    def _get_view_fn(self, H: int, W: int, quantized: bool = False):
         """ONE jitted program per eval/test view: pose → rays → chunked
         render, all on device.  The previous path built the camera batch
         eagerly (circle_view_batch's dozens of tiny jnp ops each cost a
         tunnel round trip — measured ~11 s per 800² test frame for ~1 s
-        of render); this takes 4 scalars and dispatches once."""
-        key2 = ("view", H, W)
+        of render); this takes 4 scalars and dispatches once.
+
+        quantized=True additionally packs the frame ON DEVICE to
+        (rgb uint8, depth uint16, depth_max f32): the device→host tunnel
+        downloads at ~4 MB/s, so an 800² f32 rgb+depth frame costs ~2.6 s
+        of pure transfer — uint8/uint16 cuts that 4×.  Used by the
+        eval/test image writers; metric paths keep the float program."""
+        key2 = ("view_u8" if quantized else "view", H, W)
         fn = self._eval_fns.get(key2)
         if fn is None:
             from ..core.poses import circle_poses
@@ -812,9 +818,19 @@ class Trainer:
                 intr = intrinsics_from_fov(
                     jnp.asarray(cfg.default_fovy, jnp.float32), H, W)
                 ro, rd = get_rays(poses, intr, H, W)
-                return render_chunked(params, occ_grid,
-                                      ro.reshape(-1, 3), rd.reshape(-1, 3),
-                                      key)
+                out = render_chunked(params, occ_grid,
+                                     ro.reshape(-1, 3), rd.reshape(-1, 3),
+                                     key)
+                if not quantized:
+                    return out
+                img, depth = out[0], out[1]
+                rgb_u8 = jnp.round(
+                    jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+                dmax = jnp.maximum(jnp.max(depth), 1e-6)
+                d_u16 = jnp.round(
+                    jnp.clip(depth / dmax, 0.0, 1.0) * 65535.0
+                ).astype(jnp.uint16)
+                return rgb_u8, d_u16, dmax
 
             fn = self._eval_fns[key2] = view_fn
         return fn
@@ -848,6 +864,7 @@ class Trainer:
                  f"{self.time_stats['gp_upload_dispatch']:.1f}s")
 
         t0 = time.time()
+        self._blk_t, self._blk_step = t0, self.global_step
         loss_accum, n_accum = 0.0, 0
         start = self.global_step
         first_iter = True
@@ -923,10 +940,13 @@ class Trainer:
                 ts = self.time_stats
                 overhead = ts["eval"] + ts["save_sync"] + \
                     ts["guidance_snapshot"]
+                blk_done = self.global_step - self._blk_step
+                blk_rate = blk_done / max(time.time() - self._blk_t, 1e-9)
+                self._blk_t, self._blk_step = time.time(), self.global_step
                 self.log(f"[step {self.global_step}/{max_steps}] "
                          f"loss={loss:.4f} mean_density={md:.3f} "
-                         f"({done / dt:.2f} it/s, "
-                         f"eval+save+snap {overhead:.1f}s)")
+                         f"({done / dt:.2f} it/s avg, {blk_rate:.2f} "
+                         f"block, eval+save+snap {overhead:.1f}s)")
                 self.epoch = self.global_step // cfg.dataset_size_train
                 if cfg.eval_interval > 0 and \
                         self.epoch % cfg.eval_interval == 0:
@@ -942,9 +962,11 @@ class Trainer:
                     self.save_guidance_snapshot(state)
                     self.time_stats["guidance_snapshot"] += \
                         time.time() - t_snap
-                t_save = time.time()
-                self.save_checkpoint(state, async_=True)
-                self.time_stats["save_sync"] += time.time() - t_save
+                if self.epoch % max(cfg.save_interval, 1) == 0 or \
+                        self.global_step == max_steps:
+                    t_save = time.time()
+                    self.save_checkpoint(state, async_=True)
+                    self.time_stats["save_sync"] += time.time() - t_save
         t_join = time.time()
         self.join_pending_saves()
         self.time_stats["save_sync"] += time.time() - t_join
@@ -968,6 +990,14 @@ class Trainer:
                 json.dump(ts, f, indent=1)
         except Exception:
             pass
+        self._run_stats_nsteps = n_steps
+
+    def record_phase(self, name: str, secs: float):
+        """Add a named post-train phase (test video, mesh export) to
+        time_stats and refresh run_stats.json so the whole command's wall
+        clock stays attributable."""
+        self.time_stats[name] = self.time_stats.get(name, 0.0) + secs
+        self._write_run_stats(getattr(self, "_run_stats_nsteps", 0))
 
     # ------------------------------------------------------------------
     def _snapshot_render(self, state) -> np.ndarray:
@@ -1036,12 +1066,14 @@ class Trainer:
         cfg = self.cfg
         H, W = cfg.H, cfg.W
         n_views = n_views or min(cfg.dataset_size_valid, 4)
-        view_fn = self._get_view_fn(H, W)
+        view_fn = self._get_view_fn(H, W, quantized=True)
         key = jax.random.PRNGKey(42)
-        for i in range(n_views):
-            img, depth, _ = view_fn(
-                state.ema_params, state.occ_grid, cfg.default_radius,
-                cfg.default_polar, (i / n_views) * 360.0, key)
+        # dispatch every view first (device queue), then fetch — the D2H
+        # downloads overlap the remaining renders
+        outs = [view_fn(state.ema_params, state.occ_grid, cfg.default_radius,
+                        cfg.default_polar, (i / n_views) * 360.0, key)
+                for i in range(n_views)]
+        for i, (img, depth, _) in enumerate(outs):
             img = np.asarray(img).reshape(H, W, 3)
             save_image(os.path.join(
                 self.workspace, "validation",
@@ -1049,7 +1081,8 @@ class Trainer:
             save_image(os.path.join(
                 self.workspace, "validation",
                 f"df_ep{self.epoch:04d}_{i:04d}_depth.png"),
-                colorize_depth(np.asarray(depth).reshape(H, W)))
+                colorize_depth(
+                    np.asarray(depth).reshape(H, W).astype(np.float32)))
         return self._eval_metric(state)
 
     def set_clip_scorer(self, guidance, params, embeddings: Dict[str, Any]):
@@ -1122,19 +1155,33 @@ class Trainer:
         utils.py:838-887 renders test frames at --H×--W)."""
         cfg = self.cfg
         H, W = cfg.H, cfg.W
-        view_fn = self._get_view_fn(H, W)
+        view_fn = self._get_view_fn(H, W, quantized=True)
         key = jax.random.PRNGKey(42)
         frames, depths = [], []
         n = 6 if six_views else (n_frames or cfg.dataset_size_test)
         from .data import SIX_VIEW_PHIS, SIX_VIEW_THETAS
+        # dispatch a window of frames ahead of the fetch cursor so the
+        # renders and the (slow, ~4 MB/s) D2H downloads overlap instead of
+        # serializing per frame; uint8/uint16 frames cut the bytes 4×
+        window = 8
+        pending = []
+        t_test = time.time()
         for i in range(n):
             polar = SIX_VIEW_THETAS[i] if six_views else cfg.default_polar
             phi = SIX_VIEW_PHIS[i] if six_views else (i / n) * 360.0
-            img, depth, _ = view_fn(
+            pending.append(view_fn(
                 state.ema_params, state.occ_grid, cfg.default_radius,
-                polar, phi, key)
+                polar, phi, key))
+            if len(pending) > window:
+                img, depth, _ = pending.pop(0)
+                frames.append(np.asarray(img).reshape(H, W, 3))
+                depths.append(
+                    np.asarray(depth).reshape(H, W).astype(np.float32))
+        for img, depth, _ in pending:
             frames.append(np.asarray(img).reshape(H, W, 3))
-            depths.append(np.asarray(depth).reshape(H, W))
+            depths.append(np.asarray(depth).reshape(H, W).astype(np.float32))
+        self.log(f"[test] rendered {n} frames at {H}x{W} in "
+                 f"{time.time() - t_test:.1f}s")
         rd = os.path.join(self.workspace, "results")
         if write_video and not six_views:
             save_video(os.path.join(rd, "df_rgb.mp4"), frames)

@@ -9,7 +9,10 @@ import numpy as np
 
 
 def to_uint8(img: np.ndarray) -> np.ndarray:
-    return (np.clip(np.asarray(img), 0.0, 1.0) * 255).astype(np.uint8)
+    img = np.asarray(img)
+    if img.dtype == np.uint8:  # already quantized on device
+        return img
+    return (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
 
 
 def save_image(path: str, img: np.ndarray) -> None:

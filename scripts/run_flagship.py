@@ -32,6 +32,11 @@ def main():
                     help="epochs between 800² evals (10 → 10 evals over a "
                          "10k run; the 4-view 800² eval costs ~4.7 s on "
                          "this chip, scripts/probe_eval_cost.py)")
+    ap.add_argument("--save_interval", type=int, default=10,
+                    help="epochs between rolling checkpoints: each save "
+                         "device_gets the full train state through the "
+                         "~4 MB/s tunnel and steals download bandwidth "
+                         "from the training stream even when async")
     ap.add_argument("--text", default="a DSLR photo of a delicious "
                     "hamburger")
     args = ap.parse_args()
@@ -45,6 +50,7 @@ def main():
         "--seed", "0",
         "--lambda_3d_normal_smooth", "0",
         "--eval_interval", str(args.eval_interval),
+        "--save_interval", str(args.save_interval),
         "--ckpt", "scratch",
         "--save_mesh",
     ]

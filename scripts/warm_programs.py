@@ -61,10 +61,10 @@ for name, fn in [
     print(f"[warm] {name} compiled+ran in {time.time()-t:.1f}s", flush=True)
 
 t = time.time()
-view_fn = tr._get_view_fn(cfg.H, cfg.W)
+view_fn = tr._get_view_fn(cfg.H, cfg.W, quantized=True)
 img, _, _ = view_fn(state.ema_params, state.occ_grid, cfg.default_radius,
                     cfg.default_polar, 0.0, key)
-float(jnp.sum(img))
+float(jnp.sum(img.astype(jnp.float32)))
 print(f"[warm] 800² view program compiled+ran in {time.time()-t:.1f}s",
       flush=True)
 print(f"[warm] total {time.time()-t0:.0f}s")

@@ -376,14 +376,18 @@ def main():
     # headline = MEDIAN of the timed repeats (VERDICT r2: best-of-3 hid a
     # below-north-star median); best + all repeats reported alongside.
     it_s = sorted(repeats)[len(repeats) // 2]
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(it_s, 3),
         "unit": "it/s",
-        "vs_baseline": round(it_s / BASELINE_IT_S, 3),
         "best": round(max(repeats), 3),
         "repeats": [round(r, 3) for r in repeats],
-    }))
+    }
+    if metric == "sds_iterations_per_sec":
+        # the 11.11 it/s north star is defined for the NeRF+SD step only;
+        # a ratio against it is meaningless for dmtet/zero123 (ADVICE r3)
+        out["vs_baseline"] = round(it_s / BASELINE_IT_S, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

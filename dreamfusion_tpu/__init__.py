@@ -18,12 +18,24 @@ def _host_fingerprint() -> str:
     import platform
     txt = platform.machine()
     try:
+        # BOTH the flags line and the model name: XLA derives per-uarch
+        # tuning features (+prefer-no-gather/-scatter, Intel gather-bug
+        # mitigations) from the CPU MODEL, not just the ISA flags —
+        # measured: two hosts with identical flags lines produced
+        # incompatible AOT entries (cpu_aot_loader feature-mismatch spam,
+        # VERDICT r3 #8)
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                if line.startswith(("flags", "model name")):
                     txt += line
+                if txt.count("\n") >= 2:
                     break
     except OSError:
+        pass
+    try:
+        import jaxlib
+        txt += jaxlib.__version__  # AOT format can shift across releases
+    except Exception:
         pass
     return hashlib.sha1(txt.encode()).hexdigest()[:10]
 

@@ -101,12 +101,21 @@ def build_parser() -> argparse.ArgumentParser:
         elif isinstance(getattr(defaults, f.name), float):
             p.add_argument(arg, type=float, default=None)
         else:
-            # None-default fields: infer the type from the annotation
+            # None-default fields: exact annotation → parser type match
             # (Optional[int] --seed must parse as int — a string seed
-            # crashes np.random.seed deep in main())
-            ann = str(f.type)
-            typ = int if "int" in ann else (
-                float if "float" in ann else str)
+            # crashes np.random.seed deep in main()).  Exact matching (not
+            # substring) so a future Optional[Tuple[int,int]] or Literal
+            # containing 'int' cannot silently mis-type (ADVICE r3).
+            ann = str(f.type).replace("typing.", "")
+            typ = {"Optional[int]": int, "int | None": int, "int": int,
+                   "Optional[float]": float, "float | None": float,
+                   "float": float,
+                   "Optional[str]": str, "str | None": str,
+                   "str": str}.get(ann)
+            if typ is None:
+                raise TypeError(
+                    f"config field {f.name}: unsupported None-default "
+                    f"annotation {ann!r} — add an explicit parser rule")
             p.add_argument(arg, type=typ, default=None)
     p.add_argument("--guidance", type=str, nargs="*", default=None)
     return p
@@ -196,7 +205,12 @@ def build_guidance(cfg: Config, tiny: bool = False, ref_images=None):
             g = Zero123Guidance(Zero123Config(
                 t_range=cfg.t_range, tiny=tiny,
                 grad_scale_mode=cfg.zero123_grad_scale))
-            p = g.init_params(key)
+            # converted zero123 weights (reference loads the ckpt at
+            # guidance/zero123_utils.py:22-54); VERDICT r3 #3: this branch
+            # previously always init_params'd, making converted weights
+            # unreachable from the CLI
+            p = g.load_pretrained(cfg.pretrained_root) if (
+                cfg.pretrained_root and not tiny) else g.init_params(key)
             guidances[name] = g
             gparams[name] = p
             assert ref_images is not None, "zero123 needs --image"
@@ -206,7 +220,10 @@ def build_guidance(cfg: Config, tiny: bool = False, ref_images=None):
         elif name == "clip":
             from .guidance.clip import CLIPConfig, CLIPGuidance
             g = CLIPGuidance(CLIPConfig(tiny=tiny))
-            p = g.init_params(key)
+            # converted CLIP weights (root/clip.npz) — same routing as the
+            # SD/IF/zero123 branches (VERDICT r3 #3)
+            p = g.load_pretrained(cfg.pretrained_root) if (
+                cfg.pretrained_root and not tiny) else g.init_params(key)
             guidances[name] = g
             gparams[name] = p
             embeddings[name] = g.prepare_embeddings(

@@ -131,6 +131,10 @@ def march_rays_occupancy(
 # Density-grid maintenance (reference nerf/renderer.py:1102-1149)
 # ---------------------------------------------------------------------------
 
+# finite ceiling for grid cells; trunc_exp's grad clamp caps useful sigma at
+# e^15 ≈ 3.3e6, so 1e7 never binds on a healthy field
+_DENSITY_CAP = 1e7
+
 def grid_cell_centers(grid_size: int) -> jax.Array:
     """[G^3, 3] cell-center coords in [-1, 1] raster order."""
     ax = (2.0 * jnp.arange(grid_size, dtype=jnp.float32) / (grid_size - 1)) - 1.0
@@ -177,8 +181,22 @@ def update_density_grid(
         new_rows.append(sigmas[:n_cells])
     tmp = jnp.stack(new_rows, axis=0)                             # [cascade, G^3]
 
+    # Sanitize: one divergent step producing inf/nan sigma must not poison
+    # the grid forever — EMA-max can never decay an inf away (inf*0.95=inf),
+    # which saturates occupancy and kills empty-space skipping (observed in
+    # the round-3 flagship run: mean_density=inf for all 10k steps).  The
+    # cap is far above any useful density (trunc_exp clamps at e^15≈3.3e6)
+    # so it never binds on healthy fields.  Applied to BOTH the fresh
+    # queries and the carried grid so an already-poisoned grid recovers.
+    cap = jnp.float32(_DENSITY_CAP)
+    tmp = jnp.clip(jnp.nan_to_num(tmp, nan=0.0, posinf=_DENSITY_CAP,
+                                  neginf=0.0), 0.0, cap)
+    carried = jnp.clip(jnp.nan_to_num(density_grid, nan=0.0,
+                                      posinf=_DENSITY_CAP, neginf=-1.0),
+                       -1.0, cap)
+
     valid = density_grid >= 0
-    updated = jnp.where(valid, jnp.maximum(density_grid * decay, tmp), density_grid)
+    updated = jnp.where(valid, jnp.maximum(carried * decay, tmp), carried)
     mean_density = jnp.sum(jnp.where(valid, updated, 0.0)) / jnp.maximum(
         jnp.sum(valid), 1
     )

@@ -332,6 +332,33 @@ class Trainer:
         return loss
 
     # ------------------------------------------------------------------
+    def _volume_reg_losses(self, out, wsum, shape_bhw, step) -> jax.Array:
+        """Volumetric regularizers — opacity / ramped entropy / orient /
+        3D-normal-smooth / 2D-normal-smooth (reference nerf/utils.py:687-713,
+        which applies them in EVERY non-dmtet step, known-view RGBD steps
+        included: the block runs unconditionally after the branch)."""
+        cfg = self.cfg
+        B, H, W = shape_bhw
+        loss = jnp.zeros(())
+        if cfg.lambda_opacity > 0:
+            loss = loss + cfg.lambda_opacity * jnp.mean(wsum ** 2)
+        if cfg.lambda_entropy > 0:
+            a = jnp.clip(out["weights"], 1e-5, 1 - 1e-5)
+            ent = jnp.mean(-a * jnp.log2(a) - (1 - a) * jnp.log2(1 - a))
+            loss = loss + schedules.lambda_entropy_at(cfg, step) * ent
+        if "loss_orient" in out:
+            loss = loss + cfg.lambda_orient * out["loss_orient"]
+        if "loss_normal_perturb" in out:
+            loss = loss + cfg.lambda_3d_normal_smooth * \
+                out["loss_normal_perturb"]
+        if cfg.lambda_2d_normal_smooth > 0 and "normal_image" in out:
+            ni = out["normal_image"].reshape(B, H, W, 3)
+            sm = jnp.mean((ni[:, 1:] - ni[:, :-1]) ** 2) + \
+                jnp.mean((ni[:, :, 1:] - ni[:, :, :-1]) ** 2)
+            loss = loss + cfg.lambda_2d_normal_smooth * sm
+        return loss
+
+    # ------------------------------------------------------------------
     def _make_train_step(self, phase: str):
         """phase: 'latent' (normal-as-latent warmup) or 'main'.
 
@@ -424,23 +451,7 @@ class Trainer:
                 pred_rgb = image
 
             # regularizers (utils.py:687-713)
-            loss = jnp.zeros(())
-            if cfg.lambda_opacity > 0:
-                loss = loss + cfg.lambda_opacity * jnp.mean(wsum ** 2)
-            if cfg.lambda_entropy > 0:
-                a = jnp.clip(out["weights"], 1e-5, 1 - 1e-5)
-                ent = jnp.mean(-a * jnp.log2(a) - (1 - a) * jnp.log2(1 - a))
-                loss = loss + schedules.lambda_entropy_at(cfg, step) * ent
-            if "loss_orient" in out:
-                loss = loss + cfg.lambda_orient * out["loss_orient"]
-            if "loss_normal_perturb" in out:
-                loss = loss + cfg.lambda_3d_normal_smooth * \
-                    out["loss_normal_perturb"]
-            if cfg.lambda_2d_normal_smooth > 0 and "normal_image" in out:
-                ni = out["normal_image"].reshape(B, H, W, 3)
-                sm = jnp.mean((ni[:, 1:] - ni[:, :-1]) ** 2) + \
-                    jnp.mean((ni[:, :, 1:] - ni[:, :, :-1]) ** 2)
-                loss = loss + cfg.lambda_2d_normal_smooth * sm
+            loss = self._volume_reg_losses(out, wsum, (B, H, W), step)
 
             # hash-grid TV / weight decay as explicit losses
             # (reference injects gradients post-backward, utils.py:735-741)
@@ -648,7 +659,10 @@ class Trainer:
 
         flags = RenderFlags(
             perturb=True,
-            need_normal_image=cfg.lambda_normal > 0 and gt_normal is not None,
+            need_loss_orient=cfg.lambda_orient > 0,
+            need_normal_perturb=cfg.lambda_3d_normal_smooth > 0,
+            need_normal_image=(cfg.lambda_normal > 0 and gt_normal is not None)
+            or cfg.lambda_2d_normal_smooth > 0,
         )
 
         def loss_fn(params, state: TrainState, key: jax.Array):
@@ -700,6 +714,11 @@ class Trainer:
                 pear = masked_pearson(out["depth"].reshape(Hs, Ws),
                                       gt_depth[sel], gt_mask[sel])
                 loss = loss + lam * (1.0 - pear)
+            # volumetric regularizers apply to known-view steps too
+            # (reference utils.py:685-713 runs unconditionally after the
+            # known-view branch; VERDICT r3 #5)
+            loss = loss + self._volume_reg_losses(out, pred_mask,
+                                                  (1, Hs, Ws), step)
             return loss, {"loss": loss, "loss_sds": jnp.zeros(())}
 
         @jax.jit

@@ -64,7 +64,10 @@ def cast_f32_fused(tree, dtype):
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
 
     leaves = jax.tree_util.tree_leaves(tree)
-    if leaves and isinstance(leaves[0], jax.Array) and \
+    # ANY device leaf selects the fused path: a mixed tree (first leaf
+    # host numpy, later towers already on device) must not fall back to the
+    # per-leaf eager storm this helper exists to avoid (ADVICE r3)
+    if any(isinstance(l, jax.Array) for l in leaves) and \
             jax.default_backend() != "cpu":
         return jax.jit(_cast)(tree)
     return _cast(tree)

@@ -182,3 +182,50 @@ def test_none_default_int_flags_parse_typed():
     cfg = config_from_args(args)
     assert cfg.seed == 3 and isinstance(cfg.seed, int)
     assert cfg.exp_start_iter == 10 and isinstance(cfg.exp_start_iter, int)
+
+
+def test_every_guidance_branch_routes_pretrained_root(tmp_path, monkeypatch):
+    """main.build_guidance must call load_pretrained for EVERY guidance
+    kind when --pretrained_root is set (VERDICT r3 #4: the zero123 and clip
+    branches previously always init_params'd, making converted weights
+    unreachable from the CLI; reference loads the zero123 ckpt at
+    guidance/zero123_utils.py:22-54)."""
+    import numpy as np
+    from dataclasses import replace
+
+    from dreamfusion_tpu.config import Config, finalize
+    from dreamfusion_tpu.main import build_guidance
+
+    class Reached(Exception):
+        pass
+
+    def raising(self, root):
+        assert root == str(tmp_path)
+        raise Reached()
+
+    from dreamfusion_tpu.guidance import clip as clip_mod
+    from dreamfusion_tpu.guidance import deepfloyd as if_mod
+    from dreamfusion_tpu.guidance import sd as sd_mod
+    from dreamfusion_tpu.guidance import zero123 as z_mod
+
+    monkeypatch.setattr(sd_mod.StableDiffusionGuidance, "load_pretrained",
+                        raising)
+    monkeypatch.setattr(if_mod.IFGuidance, "load_pretrained", raising)
+    monkeypatch.setattr(z_mod.Zero123Guidance, "load_pretrained", raising)
+    monkeypatch.setattr(clip_mod.CLIPGuidance, "load_pretrained", raising)
+
+    class FakeRef:
+        rgb = np.zeros((1, 8, 8, 3), np.float32)
+        polars = np.array([90.0])
+        azimuths = np.array([0.0])
+        radii = np.array([3.2])
+        weights = np.array([1.0])
+
+    for name in ("SD", "IF", "zero123", "clip"):
+        cfg = finalize(replace(Config(), text="x",
+                               guidance=(name,),
+                               pretrained_root=str(tmp_path)))
+        with pytest.raises(Reached):
+            build_guidance(cfg, tiny=False,
+                           ref_images=FakeRef() if name == "zero123"
+                           else None)

@@ -203,11 +203,18 @@ def test_convergence_hard_scene():
     """Harder quality bar (VERDICT r2 #9): two mutually-occluding spheres
     with a procedural 3D texture.  Occlusion boundaries move across views
     and the texture punishes blur — a sampler/encoder that merely finds a
-    blobby mean fails this at ~15-20 dB.  Measured headroom: the flagship
-    converges to ~57 dB here (scripts/backbone_table.py)."""
-    _, psnr1 = fit(steps=400, backbone="triplane", scene="two_sphere")
+    blobby mean fails this at ~15-20 dB.  Runs at the SHIPPED sample
+    budgets (config grid_fine/coarse_steps, not the benchmark's 32/32) so
+    quality erosion at the defaults is caught (ADVICE r3); measured
+    2026-08-19: 56.1 dB at fine=24 (57.9 dB at fine=32), so the 50 dB bar
+    sits just below the shipped-default headroom."""
+    from dreamfusion_tpu.config import Config
+    cfg = Config()
+    _, psnr1 = fit(steps=400, backbone="triplane", scene="two_sphere",
+                   fine_steps=cfg.grid_fine_steps,
+                   probe_steps=cfg.grid_coarse_steps)
     assert np.isfinite(psnr1)
-    assert psnr1 >= 30.0, f"hard-scene converged {psnr1:.2f} dB < 30 dB bar"
+    assert psnr1 >= 50.0, f"hard-scene converged {psnr1:.2f} dB < 50 dB bar"
 
 
 def test_convergence_grid_affine():

@@ -202,3 +202,47 @@ def test_image_conditioned_training(tmp_path, rng):
     state = tr.train(state, max_steps=cfg.iters)
     assert int(state.step) == cfg.iters
     assert np.isfinite(tr.stats["loss"][-1])
+
+
+def test_known_view_step_applies_volume_regularizers(tmp_path, rng):
+    """The reference applies opacity/entropy/orient/normal-smooth in EVERY
+    non-dmtet step, known-view RGBD steps included (nerf/utils.py:685-713
+    runs unconditionally after the branch) — VERDICT r3 #5."""
+    from dreamfusion_tpu.config import Config, finalize
+    from dreamfusion_tpu.training.image_data import RefImages
+    from dreamfusion_tpu.training.trainer import Trainer
+
+    K, H, W = 1, 16, 16
+
+    def make_cfg(lambda_entropy, ws):
+        return finalize(Config(
+            image="fake.png", workspace=str(tmp_path / ws),
+            backbone="vanilla", w=W, h=H, iters=4, dataset_size_train=2,
+            latent_iter_ratio=0.0, known_view_interval=1,
+            known_view_scale=1.0, fp16=False, num_steps=8, upsample_steps=4,
+            hidden_dim=16, num_layers=2, hidden_dim_bg=8, num_layers_bg=2,
+            eval_interval=-1, seed=0, guidance=("zero123",),
+            lambda_entropy=lambda_entropy, lambda_opacity=0.0,
+            lambda_orient=0.0, lambda_3d_normal_smooth=0.0,
+            lambda_normal=0.0, lambda_depth=0.0, use_tensorboard=False,
+        ))
+
+    ref = RefImages(
+        rgb=rng.uniform(0, 1, (K, H, W, 3)).astype(np.float32),
+        mask=np.ones((K, H, W), bool), depth=None, normal=None)
+
+    losses = {}
+    for lam, ws in ((0.0, "ws0"), (1000.0, "ws1")):
+        cfg = make_cfg(lam, ws)
+        tr = Trainer(cfg, guidances={}, guidance_params={}, embeddings={},
+                     ref_images=ref)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        # nonzero step: the entropy weight ramps as min(1, 2*step/iters)
+        # (reference utils.py:695) and is exactly 0 at step 0
+        state = state.replace(step=jnp.asarray(2, jnp.int32))
+        step = tr._make_known_view_step()
+        _, metrics = step(state, jax.random.PRNGKey(1))
+        losses[lam] = float(metrics["loss"])
+    # entropy of an untrained semi-transparent field is strictly positive,
+    # so a huge lambda_entropy must move the known-view loss
+    assert losses[1000.0] > losses[0.0] + 1e-4, losses

@@ -233,3 +233,41 @@ def test_grid_path_use_bg_net_routes_and_trains_bg_mlp(key):
                  if "bg" in jax.tree_util.keystr(k)]
     assert bg_leaves, "no bg params found"
     assert sum(float(jnp.abs(x).sum()) for x in bg_leaves) > 0
+
+
+def test_update_density_grid_recovers_from_inf(key):
+    """One divergent step producing inf sigma must not poison the grid
+    forever: EMA-max can't decay inf (inf*0.95=inf), so update_density_grid
+    sanitizes both the fresh queries and the carried grid (VERDICT r3 #3;
+    reference mirror nerf/renderer.py:1102-1149 has no such guard and the
+    round-3 flagship logged mean_density=inf for 10k steps)."""
+    grid = jnp.zeros((1, 16 ** 3))
+
+    def inf_density(x):
+        return jnp.full((x.shape[0],), jnp.inf)
+
+    poisoned, mean_d, _ = update_density_grid(
+        key, grid, inf_density, bound=1.0, grid_size=16)
+    assert np.isfinite(float(mean_d)), "mean_density must stay finite"
+    assert np.isfinite(np.asarray(poisoned)).all()
+
+    # a grid poisoned by an OLD (pre-guard) run also recovers: feed an
+    # inf-carrying grid through one zero-density update
+    stale = grid.at[0, 0].set(jnp.inf)
+    recovered, mean_d2, _ = update_density_grid(
+        key, stale, lambda x: jnp.zeros(x.shape[0]), bound=1.0, grid_size=16)
+    assert np.isfinite(np.asarray(recovered)).all()
+    assert np.isfinite(float(mean_d2))
+    # and decays thereafter like any finite cell
+    again, _, _ = update_density_grid(
+        key, recovered, lambda x: jnp.zeros(x.shape[0]), bound=1.0,
+        grid_size=16)
+    assert float(again[0, 0]) <= float(recovered[0, 0])
+
+
+def test_update_density_grid_nan_sigma_treated_as_empty(key):
+    nan_fn = lambda x: jnp.full((x.shape[0],), jnp.nan)
+    new, mean_d, occ = update_density_grid(
+        key, jnp.zeros((1, 16 ** 3)), nan_fn, bound=1.0, grid_size=16)
+    assert np.isfinite(np.asarray(new)).all()
+    assert float(mean_d) == 0.0

@@ -30,7 +30,10 @@ import jax.numpy as jnp
 # field queries (chunked + jitted)
 # ---------------------------------------------------------------------------
 
-def _field_fn(trainer, state, name: str):
+def _field_fn(trainer, state, name: str, quantize: bool = False):
+    """quantize=True returns uint8 (albedo) / float16 (sigma) — the
+    device→host tunnel moves ~4 MB/s, so halving/quartering the bytes is
+    a direct wall-clock win on big grid downloads."""
     renderer = trainer.renderer
     params = state.ema_params if getattr(state, "ema_params", None) is not None \
         else state.params
@@ -40,9 +43,25 @@ def _field_fn(trainer, state, name: str):
     @jax.jit
     def fn(x):
         out = renderer.apply({"params": params}, x, method=renderer.density)
-        return out[name]
+        o = out[name]
+        if quantize:
+            if name == "albedo":
+                return jnp.round(jnp.clip(o, 0.0, 1.0) * 255.0
+                                 ).astype(jnp.uint8)
+            return o.astype(jnp.float16)
+        return o
 
     return fn
+
+
+def _pow2_bucket(n: int, lo: int = 1024) -> int:
+    """Smallest power-of-two ≥ n (≥ lo): padding verts/faces to buckets
+    keeps the bake program's shapes — and so its compile-cache key —
+    stable across runs with different triangle counts."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
 
 
 def query_grid(trainer, state, resolution: int = 256,
@@ -50,21 +69,25 @@ def query_grid(trainer, state, resolution: int = 256,
     # chunk: 64³ like the reference (renderer.py:1113) — encoder gathers
     # pad the minor dim to 128 lanes, so big chunks explode HBM temps
     """Query sigma on a resolution³ grid over [-bound, bound]³
-    (reference renderer.py:393-407)."""
+    (reference renderer.py:393-407).  All chunks are dispatched before any
+    fetch (device queue) so compute overlaps the f16-quantized D2H
+    downloads through the ~4 MB/s tunnel."""
     bound = trainer.cfg.bound
-    fn = _field_fn(trainer, state, "sigma")
+    fn = _field_fn(trainer, state, "sigma", quantize=True)
     xs = np.linspace(-bound, bound, resolution, dtype=np.float32)
     pts = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1).reshape(-1, 3)
-    out = np.empty((pts.shape[0],), np.float32)
-    for i in range(0, pts.shape[0], chunk):
-        end = min(i + chunk, pts.shape[0])
+    n = pts.shape[0]
+    pending = []
+    for i in range(0, n, chunk):
+        end = min(i + chunk, n)
         buf = pts[i:end]
-        if buf.shape[0] < chunk and i > 0:
-            pad = np.zeros((chunk - buf.shape[0], 3), np.float32)
-            out[i:end] = np.asarray(fn(jnp.asarray(
-                np.concatenate([buf, pad]))))[:end - i]
-        else:
-            out[i:end] = np.asarray(fn(jnp.asarray(buf)))
+        if buf.shape[0] < chunk:
+            buf = np.concatenate(
+                [buf, np.zeros((chunk - buf.shape[0], 3), np.float32)])
+        pending.append((i, end, fn(jnp.asarray(buf))))
+    out = np.empty((n,), np.float32)
+    for i, end, dev in pending:
+        out[i:end] = np.asarray(dev)[:end - i].astype(np.float32)
     return out.reshape(resolution, resolution, resolution)
 
 
@@ -106,34 +129,60 @@ def bake_texture(trainer, state, verts: np.ndarray, tris: np.ndarray,
                  chunk: int = 512 * 512) -> np.ndarray:
     """Rasterize the UV atlas, interpolate world positions per texel, query
     the field's albedo there, EDT-inpaint the gutters
-    (renderer.py:449-529 re-designed for XLA)."""
-    from ..ops.raster import rasterize, interpolate
+    (renderer.py:449-529 re-designed for XLA).
 
-    fn = _field_fn(trainer, state, "albedo")
+    The raster+interpolate sweep runs as ONE jitted program over
+    power-of-two-bucketed (verts, faces) so (a) nothing materializes
+    eagerly (the un-jitted sweep OOM'd at 12 GB on the TPU in round 3) and
+    (b) the compile-cache key is stable across runs with different
+    triangle counts."""
+    from ..ops.raster import RasterOut, interpolate, rasterize
+
+    fn = _field_fn(trainer, state, "albedo", quantize=True)
     # UV [0,1] → clip space for the rasterizer (NDC x right, y up)
     u, v = uv[:, 0], uv[:, 1]
     clip = np.stack([u * 2 - 1, -(v * 2 - 1), np.zeros_like(u),
                      np.ones_like(u)], -1).astype(np.float32)
-    faces = jnp.asarray(tris)
-    out = rasterize(jnp.asarray(clip), faces,
-                    jnp.ones((len(tris),), bool), tex_res, tex_res,
-                    tile=32, tile_cap=min(1024, max(64, len(tris))),
-                    soft_edge_px=0.0)
-    xyz = interpolate(jnp.asarray(verts), out, faces)
-    mask = np.asarray(out.tri_id >= 0)
-    xyz = np.asarray(xyz).reshape(-1, 3)
+
+    T, V = len(tris), len(verts)
+    TB, VB = _pow2_bucket(T), _pow2_bucket(V)
+    clip_p = np.zeros((VB, 4), np.float32)
+    clip_p[:V] = clip
+    verts_p = np.zeros((VB, 3), np.float32)
+    verts_p[:V] = verts
+    tris_p = np.zeros((TB, 3), np.int32)
+    tris_p[:T] = tris
+    mask_p = np.zeros((TB,), bool)
+    mask_p[:T] = True
+
+    @jax.jit
+    def bake_sweep(clip_v, faces, fmask, vpos):
+        out = rasterize(clip_v, faces, fmask, tex_res, tex_res,
+                        tile=32, tile_cap=min(1024, TB),
+                        soft_edge_px=0.0)
+        xyz = interpolate(vpos, out, faces)
+        # quantized downloads: covered mask (bool) + f16 positions
+        return out.tri_id >= 0, xyz.astype(jnp.float16)
+
+    mask_dev, xyz_dev = bake_sweep(jnp.asarray(clip_p), jnp.asarray(tris_p),
+                                   jnp.asarray(mask_p), jnp.asarray(verts_p))
+    mask = np.asarray(mask_dev)
+    xyz = np.asarray(xyz_dev).astype(np.float32).reshape(-1, 3)
 
     albedo = np.zeros_like(xyz)
     flat_mask = mask.reshape(-1)
     pts = xyz[flat_mask]
-    cols = np.empty((pts.shape[0], 3), np.float32)
+    cols_dev = []
     for i in range(0, pts.shape[0], chunk):
         end = min(i + chunk, pts.shape[0])
         buf = pts[i:end]
         pad_n = chunk - buf.shape[0]
         if pad_n > 0:
             buf = np.concatenate([buf, np.zeros((pad_n, 3), np.float32)])
-        cols[i:end] = np.asarray(fn(jnp.asarray(buf)))[:end - i]
+        cols_dev.append((i, end, fn(jnp.asarray(buf))))
+    cols = np.empty((pts.shape[0], 3), np.float32)
+    for i, end, dev in cols_dev:
+        cols[i:end] = np.asarray(dev)[:end - i].astype(np.float32) / 255.0
     albedo[flat_mask] = cols
     tex = albedo.reshape(tex_res, tex_res, 3)
 
@@ -232,8 +281,18 @@ def export_mesh(trainer, state, save_dir: str, resolution: int = 256,
                 decimate_target: int = 50_000, tex_res: int = 1024,
                 name: str = "mesh") -> str:
     """Full pipeline (reference Trainer.save_mesh, utils.py:787-798).
-    Returns the OBJ path ('' if the field produced no surface)."""
+    Returns the OBJ path ('' if the field produced no surface).  Logs a
+    per-phase wall breakdown so a slow export is attributable (round 3's
+    was killed >700 s in with no trace of where the time went)."""
+    import time
+
     from ..native import meshops
+
+    t0 = time.time()
+    phases = {}
+
+    def mark(name_):
+        phases[name_] = round(time.time() - t0 - sum(phases.values()), 1)
 
     if getattr(trainer.cfg, "dmtet", False) and \
             getattr(trainer, "dmtet_renderer", None) is not None:
@@ -246,14 +305,19 @@ def export_mesh(trainer, state, save_dir: str, resolution: int = 256,
     else:
         verts, tris = extract_mesh(trainer, state, resolution=resolution,
                                    decimate_target=decimate_target)
+    mark("field_to_mesh")
     if len(tris) == 0:
         trainer.log("[export_mesh] empty surface, nothing to export")
         return ""
     verts, tris, uv, _src = meshops.unwrap_uv(verts, tris,
                                               atlas_res=tex_res)
+    mark("unwrap_uv")
     texture = bake_texture(trainer, state, verts, tris, uv, tex_res=tex_res)
+    mark("bake_texture")
     path = os.path.join(save_dir, f"{name}.obj")
     write_obj(path, verts, tris, uv=uv, texture=texture, name=name)
+    mark("write")
     trainer.log(f"[export_mesh] wrote {path}: {len(verts)} verts, "
-                f"{len(tris)} tris, {tex_res}² texture")
+                f"{len(tris)} tris, {tex_res}² texture in "
+                f"{time.time() - t0:.1f}s {phases}")
     return path

@@ -167,8 +167,13 @@ class CLIPVisionEncoder(nn.Module):
         return proj, x
 
 
-CLIP_IMAGE_MEAN = jnp.array([0.48145466, 0.4578275, 0.40821073])
-CLIP_IMAGE_STD = jnp.array([0.26862954, 0.26130258, 0.27577711])
+# numpy on purpose: a module-level jnp.array initializes the JAX backend
+# AT IMPORT, before any entry point can force the CPU platform (standalone
+# scripts crashed with "Unable to initialize backend 'axon'")
+import numpy as _np
+
+CLIP_IMAGE_MEAN = _np.array([0.48145466, 0.4578275, 0.40821073], _np.float32)
+CLIP_IMAGE_STD = _np.array([0.26862954, 0.26130258, 0.27577711], _np.float32)
 
 
 def clip_preprocess(images: jax.Array, size: int = 224) -> jax.Array:

@@ -49,7 +49,13 @@ def rasterize(
     tile: int = 32,
     tile_cap: int = 512,
     soft_edge_px: float = 1.0,
+    tile_batch: Optional[int] = None,
 ) -> RasterOut:
+    """tile_batch bounds the live (pixel × triangle) temp: tiles are swept
+    in lax.map chunks of `tile_batch` (auto: ~256 MB of f32 temps) instead
+    of one vmap over every tile — at tex_res 1024 / cap 1024 the all-tiles
+    sweep materializes a 12 GB [tiles, px, cap, 3] tensor (OOM'd the
+    round-3 mesh export on the TPU)."""
     T = faces.shape[0]
     w = clip_verts[:, 3:4]
     ndc = clip_verts[:, :3] / jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)   # [V, 3]
@@ -162,9 +168,30 @@ def rasterize(
         return (bary.reshape(tile, tile, 3), tri.reshape(tile, tile),
                 zbest.reshape(tile, tile), alpha.reshape(tile, tile))
 
-    bary_t, tri_t, z_t, a_t = jax.vmap(raster_tile)(
-        tile_x0.astype(jnp.float32), tile_y0.astype(jnp.float32),
-        tp0, tp1, tp2, tz, got, tri_idx)
+    G = nty * ntx
+    if tile_batch is None:
+        # budget ~256 MB for the dominant [batch, P, C, 3] f32 temp
+        per_tile = tile * tile * tile_cap * 12
+        tile_batch = max(1, min(G, (256 << 20) // max(per_tile, 1)))
+    tile_batch = min(tile_batch, G)
+    args = (tile_x0.astype(jnp.float32), tile_y0.astype(jnp.float32),
+            tp0, tp1, tp2, tz, got, tri_idx)
+    if tile_batch >= G:
+        bary_t, tri_t, z_t, a_t = jax.vmap(raster_tile)(*args)
+    else:
+        n_b = -(-G // tile_batch)
+        pad_g = n_b * tile_batch - G
+        def prep(x):
+            if pad_g:
+                # padded tiles carry got=False → no hits; sliced off below
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad_g,) + x.shape[1:], x.dtype)])
+            return x.reshape((n_b, tile_batch) + x.shape[1:])
+        bary_t, tri_t, z_t, a_t = jax.lax.map(
+            lambda a: jax.vmap(raster_tile)(*a), jax.tree.map(prep, args))
+        def unb(x):
+            return x.reshape((n_b * tile_batch,) + x.shape[2:])[:G]
+        bary_t, tri_t, z_t, a_t = unb(bary_t), unb(tri_t), unb(z_t), unb(a_t)
 
     def untile(x):
         c = x.reshape(nty, ntx, tile, tile, *x.shape[3:])

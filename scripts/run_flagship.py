@@ -1,4 +1,4 @@
-"""Full-length flagship run on the TPU → RUN_r03.json (VERDICT r2 #1).
+"""Full-length flagship run on the TPU → RUN_r0N.json (VERDICT r2 #1, r3 #1).
 
 Drives the real CLI (python -m dreamfusion_tpu.main) for a 10k-iteration
 text-to-3D run at the flagship configuration — latent warmup, occupancy
@@ -26,8 +26,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10000)
-    ap.add_argument("--workspace", default="/root/runs/r3_flagship")
-    ap.add_argument("--out", default=os.path.join(ROOT, "RUN_r03.json"))
+    ap.add_argument("--workspace", default="/root/runs/r4_flagship")
+    ap.add_argument("--out", default=os.path.join(ROOT, "RUN_r04.json"))
     ap.add_argument("--eval_interval", type=int, default=10,
                     help="epochs between 800² evals (10 → 10 evals over a "
                          "10k run; the 4-view 800² eval costs ~4.7 s on "
@@ -37,6 +37,12 @@ def main():
                          "device_gets the full train state through the "
                          "~4 MB/s tunnel and steals download bandwidth "
                          "from the training stream even when async")
+    ap.add_argument("--test_frames", type=int, default=50,
+                    help="turntable frames for the final test video: the "
+                         "reference default 100 at 800² costs ~240 s of "
+                         "render+download on this chip (RUN_r03 "
+                         "test_video); 50 halves that with no loss of "
+                         "demonstrative value")
     ap.add_argument("--text", default="a DSLR photo of a delicious "
                     "hamburger")
     args = ap.parse_args()
@@ -52,6 +58,7 @@ def main():
         "--eval_interval", str(args.eval_interval),
         "--save_interval", str(args.save_interval),
         "--ckpt", "scratch",
+        "--dataset_size_test", str(args.test_frames),
         "--save_mesh",
     ]
     print("[run_flagship]", " ".join(cmd), flush=True)
@@ -74,6 +81,8 @@ def main():
         if os.path.isdir(mesh_dir) else [],
     }
     train_wall = stats.get("train_wall", 0.0)
+    has_mp4 = any(f.endswith((".mp4", ".avi")) for f in artifacts["video"])
+    has_mesh = any(f.endswith(".obj") for f in artifacts["mesh"])
     out = {
         "iters": args.iters,
         "returncode": proc.returncode,
@@ -86,6 +95,8 @@ def main():
         "north_star_min": 15.0,
         "beats_north_star": bool(train_wall <= 15 * 60 and
                                  proc.returncode == 0),
+        "has_video_container": has_mp4,
+        "has_mesh_obj": has_mesh,
         "eval_interval_epochs": args.eval_interval,
         "artifacts": artifacts,
         "text": args.text,

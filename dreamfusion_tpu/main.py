@@ -252,6 +252,12 @@ def main(argv=None):
 
     from .utils.platform import honor_cpu_env
     honor_cpu_env()
+    # multi-host: join the process group BEFORE the first jax computation
+    # (launcher exports DFTPU_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID; on
+    # real pods jax auto-detects all three) — reference's dormant DDP,
+    # made real (nerf/utils.py:248-250, SURVEY §2.4)
+    from .parallel import distributed as dist
+    dist.maybe_initialize_from_env()
     import jax
 
     from .training.trainer import Trainer

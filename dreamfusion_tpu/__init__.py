@@ -33,6 +33,18 @@ def _host_fingerprint() -> str:
     except OSError:
         pass
     try:
+        # flags + model name are NOT enough: round-4 still hit
+        # cpu_aot_loader feature-mismatch spam from a round-3 host with an
+        # identical cpuinfo signature (XLA derives +prefer-no-gather/-
+        # scatter tuning from CPUID leaves /proc/cpuinfo doesn't carry).
+        # The boot id makes a different machine/boot miss cleanly; the
+        # cache's job is warm restarts within a session, which one boot
+        # covers.
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            txt += f.read()
+    except OSError:
+        pass
+    try:
         import jaxlib
         txt += jaxlib.__version__  # AOT format can shift across releases
     except Exception:

@@ -56,6 +56,13 @@ def _enable_compile_cache():
     """Persistent XLA compilation cache: recompiling the fused SDS step in
     every process costs minutes; the cache makes resume/test/bench restarts
     near-instant.  Scoped per host fingerprint (see _host_fingerprint)."""
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        # XLA:CPU logs a spurious full-page AOT feature-mismatch ERROR on
+        # every same-machine persistent-cache load (tuning pseudo-features
+        # like +prefer-no-gather appear in compile features but never in
+        # the loader's host enumeration).  Must be set before jax's first
+        # C++ log line; see utils/platform.force_cpu for the full story.
+        os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     try:
         import jax
         base = os.environ.get("DFTPU_COMPILE_CACHE",

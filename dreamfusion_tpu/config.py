@@ -42,6 +42,9 @@ class Config:
     # ---- guidance (main.py:43-56) ----
     guidance: Tuple[str, ...] = ("SD",)
     guidance_scale: float = 100.0
+    # analytic target scene for `--guidance oracle` (guidance/oracle.py —
+    # the zero-egress closed-form SDS prior; evaluation/analytic.SCENES)
+    oracle_scene: str = "two_sphere"
     sd_version: str = "2.1"
     hf_key: Optional[str] = None
     # Local paths to converted flax / torch weights (zero-egress replacement for
@@ -367,6 +370,16 @@ def finalize(cfg: Config) -> Config:
         # the reference's alternative CUDA/Taichi hash-grid backends
         # (main.py:289-306) are one implementation here
         cfg = replace(cfg, backbone="grid")
+    if "oracle" in cfg.guidance:
+        # the pixel-space oracle prior consumes rgb, not normal-as-latent
+        # warmup images (training/trainer.py _guidance_loss); bg_radius=-1
+        # keeps eval/test renders on the same white background as the
+        # analytic target so the oracle PSNR eval metric is meaningful;
+        # albedo_iter_ratio=1 disables the random lambertian/textureless
+        # shading draws — the analytic target has no lighting model, so a
+        # shaded render would chase it with an inconsistent gradient
+        cfg = replace(cfg, latent_iter_ratio=0.0, bg_radius=-1.0,
+                      albedo_iter_ratio=1.0)
     exp_start = cfg.exp_start_iter if cfg.exp_start_iter is not None else 0
     exp_end = cfg.exp_end_iter if cfg.exp_end_iter is not None else cfg.iters
     return replace(cfg, exp_start_iter=exp_start, exp_end_iter=exp_end)

@@ -217,6 +217,18 @@ def build_guidance(cfg: Config, tiny: bool = False, ref_images=None):
             embeddings[name] = g.prepare_image_embeddings(
                 p, ref_images.rgb, ref_images.polars, ref_images.azimuths,
                 ref_images.radii, ref_images.weights)
+        elif name == "oracle":
+            # closed-form pixel-space SDS prior toward analytic views —
+            # the zero-egress end-to-end quality run (guidance/oracle.py);
+            # stateless: no weights, no text embeddings
+            import jax.numpy as jnp
+
+            from .guidance.oracle import PixelOracleGuidance
+            g = PixelOracleGuidance(SDConfig(t_range=cfg.t_range, tiny=tiny),
+                                    scene=cfg.oracle_scene)
+            guidances[name] = g
+            gparams[name] = g.init_params(key)
+            embeddings[name] = jnp.zeros(())
         elif name == "clip":
             from .guidance.clip import CLIPConfig, CLIPGuidance
             g = CLIPGuidance(CLIPConfig(tiny=tiny))

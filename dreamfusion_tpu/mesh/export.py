@@ -91,33 +91,93 @@ def query_grid(trainer, state, resolution: int = 256,
     return out.reshape(resolution, resolution, resolution)
 
 
+def sigmas_to_mesh(sigmas: np.ndarray, density_thresh: float, bound: float,
+                   decimate_target: int = 50_000, clean: bool = True,
+                   log=print, mark=lambda n: None,
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Sanitized density volume → cleaned, decimated world-space mesh.
+
+    Includes the degenerate-surface guard: a noise-like field (random or
+    diverged prior) at 256³ can emit tens of millions of MC triangles; MC
+    + weld + quadric-decimate at that scale costs many minutes (the r4
+    flagship's export ran 849 s; a probe re-run was killed at 977 s).  The
+    surface size is estimated CHEAPLY first (occupancy sign-flips along
+    the three axes ≈ crossed faces; each crossed face → ~2 triangles) and
+    the extraction resolution halves until the estimate is within a sane
+    multiple of the decimate target — a real object's surface fits at
+    full res and never trips this."""
+    from ..native import meshops
+
+    sigmas = np.nan_to_num(np.asarray(sigmas, np.float32),
+                           nan=0.0, posinf=3.3e6, neginf=0.0)
+    max_raw = max(32 * decimate_target, 2_000_000) if decimate_target \
+        else 16_000_000
+    R = sigmas.shape[0]
+
+    def _est_tris(s):
+        occ = s > density_thresh
+        flips = sum(int(np.count_nonzero(np.diff(occ, axis=a)))
+                    for a in range(3))
+        return 2 * flips
+
+    est = _est_tris(sigmas)
+    while est > max_raw and R > 64:
+        R //= 2
+        log(f"[extract_mesh] degenerate surface (~{est} est. tris at "
+            f"{R * 2}³) — extracting at {R}³ instead")
+        sigmas = sigmas.reshape(R, 2, R, 2, R, 2).mean(axis=(1, 3, 5))
+        est = _est_tris(sigmas)
+    verts, tris = meshops.marching_cubes(sigmas, float(density_thresh))
+    mark("mc")
+    if len(tris) == 0:
+        return verts, tris
+    # index space → world (R = the resolution actually extracted at)
+    verts = verts / (R - 1) * (2 * bound) - bound
+    if clean:
+        verts, tris = meshops.clean_mesh(verts, tris,
+                                         weld_eps=1e-4 * bound,
+                                         min_faces=8, min_frac=0.02)
+    mark("clean")
+    if decimate_target and len(tris) > decimate_target:
+        verts, tris = meshops.decimate_mesh(verts, tris, decimate_target)
+    mark("decimate")
+    return verts.astype(np.float32), tris.astype(np.int32)
+
+
 def extract_mesh(trainer, state, resolution: int = 256,
                  density_thresh: Optional[float] = None,
                  decimate_target: int = 50_000,
                  clean: bool = True) -> Tuple[np.ndarray, np.ndarray]:
     """NeRF density → triangle mesh in world coordinates
     (renderer.py:380-436)."""
-    from ..native import meshops
+    import time
+
+    t0 = time.time()
+    phases = {}
+
+    def mark(name_):
+        phases[name_] = round(time.time() - t0 - sum(phases.values()), 1)
 
     cfg = trainer.cfg
     sigmas = query_grid(trainer, state, resolution)
+    # same sanitization as the density grid (ops/occupancy.py): trunc_exp's
+    # FORWARD can overflow to inf on a diverged field (only its grad is
+    # clamped, ops/activation.py) — measured on the r4 degenerate run:
+    # max=inf, 59% of cells above threshold
+    sigmas = np.nan_to_num(sigmas, nan=0.0, posinf=3.3e6, neginf=0.0)
+    mark("query")
     if density_thresh is None:
         # mirror renderer.py:387-391: relax threshold if the field is faint
         mean_live = float(sigmas[sigmas > 1e-3].mean()) \
             if (sigmas > 1e-3).any() else cfg.density_thresh
         density_thresh = min(2 * mean_live, cfg.density_thresh)
-    verts, tris = meshops.marching_cubes(sigmas, float(density_thresh))
-    if len(tris) == 0:
-        return verts, tris
-    # index space → world
-    verts = verts / (resolution - 1) * (2 * cfg.bound) - cfg.bound
-    if clean:
-        verts, tris = meshops.clean_mesh(verts, tris,
-                                         weld_eps=1e-4 * cfg.bound,
-                                         min_faces=8, min_frac=0.02)
-    if decimate_target and len(tris) > decimate_target:
-        verts, tris = meshops.decimate_mesh(verts, tris, decimate_target)
-    return verts.astype(np.float32), tris.astype(np.int32)
+    verts, tris = sigmas_to_mesh(sigmas, float(density_thresh), cfg.bound,
+                                 decimate_target=decimate_target,
+                                 clean=clean, log=trainer.log, mark=mark)
+    trainer.log(f"[extract_mesh] {len(verts)} verts, {len(tris)} tris "
+                f"at thresh {density_thresh:.3g} in "
+                f"{time.time() - t0:.1f}s {phases}")
+    return verts, tris
 
 
 # ---------------------------------------------------------------------------

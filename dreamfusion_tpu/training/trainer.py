@@ -298,7 +298,8 @@ class Trainer:
     def _guidance_loss(self, gparams: Dict[str, Any], key: jax.Array,
                        pred_rgb: jax.Array,
                        batch: CameraBatch, as_latent: bool,
-                       embeddings: Optional[Dict[str, Any]] = None) -> jax.Array:
+                       embeddings: Optional[Dict[str, Any]] = None,
+                       bg: Optional[jax.Array] = None) -> jax.Array:
         # Embeddings default to the closure for ad-hoc callers, but the fused
         # train step passes them as a jit ARGUMENT: closed-over embedding
         # constants are baked into the HLO, and any bitwise drift across
@@ -344,6 +345,17 @@ class Trainer:
                 w = 10.0 * (1.0 - jnp.abs(batch.delta_azimuth[0]) / 180.0) \
                     * cfg.lambda_guidance
                 loss = loss + g.loss(gp, emb, pred_rgb, grad_scale=w)
+            elif name == "oracle":
+                # closed-form pixel-space SDS toward analytic target views
+                # of the step's sampled cameras (guidance/oracle.py) — the
+                # zero-egress end-to-end quality prior.  Needs rgb (the
+                # oracle preset sets latent_iter_ratio=0, config.py).
+                assert not as_latent, \
+                    "--guidance oracle requires latent_iter_ratio 0"
+                b = jnp.ones((3,), pred_rgb.dtype) if bg is None else bg
+                loss = loss + g.sds_loss_rays(
+                    keys[i], batch.rays_o, batch.rays_d, b, pred_rgb,
+                    grad_scale=cfg.lambda_guidance)
         return loss
 
     # ------------------------------------------------------------------
@@ -502,13 +514,13 @@ class Trainer:
                 loss = loss + cfg.lambda_wd * hashgrid_wd_loss(
                     params["field"]["grid_table"], spec)
 
-            return pred_rgb, loss, batch, {"loss_reg": loss}
+            return pred_rgb, loss, batch, {"loss_reg": loss}, bg_color
 
-        def guidance_part(gparams, embs, key, pred_rgb, batch):
+        def guidance_part(gparams, embs, key, pred_rgb, batch, bg):
             k_guide = jax.random.split(key, 5)[3]
             return self._guidance_loss(gparams, k_guide, pred_rgb, batch,
                                        as_latent=latent_phase,
-                                       embeddings=embs)
+                                       embeddings=embs, bg=bg)
 
         gp_dev = self._guidance_params_on_device()
         emb_dev = self._embeddings_on_device()
@@ -516,9 +528,9 @@ class Trainer:
         if not cfg.split_step:
             def loss_fn(params, state: TrainState, key: jax.Array, gparams,
                         embs):
-                pred_rgb, reg_loss, batch, metrics = render_part(
+                pred_rgb, reg_loss, batch, metrics, bg = render_part(
                     params, state, key)
-                sds = guidance_part(gparams, embs, key, pred_rgb, batch)
+                sds = guidance_part(gparams, embs, key, pred_rgb, batch, bg)
                 loss = sds + reg_loss
                 metrics = {**metrics, "loss_sds": sds, "loss": loss}
                 return loss, metrics
@@ -599,19 +611,21 @@ class Trainer:
         @jax.jit
         def render_fwd(state: TrainState, key: jax.Array):
             key = jax.random.fold_in(key, state.step)
-            pred_rgb, _, _, _ = render_part(state.params, state, key)
+            pred_rgb, _, _, _, _ = render_part(state.params, state, key)
             return pred_rgb
 
         @jax.jit
         def guidance_grad(gparams, embs, step, key, pred_rgb):
-            # rebuild the batch the render program drew (same k_batch);
-            # only the camera scalars feed the guidance (view-dependent
-            # prompting / zero123 deltas), not the rays
+            # rebuild the batch the render program drew (same k_batch) and
+            # its step choices (same k_choice — the oracle prior composites
+            # the step's background into its target); only camera scalars
+            # and bg feed the guidance, not the rays
             key = jax.random.fold_in(key, step)
-            k_batch = jax.random.split(key, 5)[0]
-            batch, _ = make_batch(k_batch, step)
+            k_batch, k_choice = jax.random.split(key, 5)[:2]
+            batch, r_exp = make_batch(k_batch, step)
+            bg = schedules.sample_step_choices(cfg, k_choice, r_exp).bg_color
             sds, cot = jax.value_and_grad(
-                lambda img: guidance_part(gparams, embs, key, img, batch)
+                lambda img: guidance_part(gparams, embs, key, img, batch, bg)
             )(pred_rgb)
             return sds, cot
 
@@ -623,7 +637,7 @@ class Trainer:
                 # <pred_rgb, cot> has exactly the SDS loss's param gradient;
                 # the render forward is recomputed here (cheaper than
                 # shipping residuals across program boundaries)
-                pred_rgb, reg_loss, _, metrics = render_part(
+                pred_rgb, reg_loss, _, metrics, _ = render_part(
                     params, state, key)
                 lin = jnp.sum(pred_rgb.astype(jnp.float32)
                               * jax.lax.stop_gradient(cot.astype(jnp.float32)))
@@ -1014,7 +1028,13 @@ class Trainer:
         attributable: steps vs evals vs saves vs compile."""
         ts = dict(self.time_stats)
         overhead = ts["eval"] + ts["save_sync"] + ts["guidance_snapshot"]
-        ts["steps"] = max(ts["train_wall"] - overhead, 0.0)
+        # steps = stepping wall EXCLUDING the first-iteration compile +
+        # param-upload fence (one-time costs a warm compile cache removes),
+        # so steady_it_s reads the loop's actual rate (RUN_r04's 9.7
+        # "steady" was really 13.3 blocks + 182 s of cold compile)
+        compile_s = ts.get("first_iter_dispatch", 0.0) + \
+            ts.get("first_iter_fence", 0.0)
+        ts["steps"] = max(ts["train_wall"] - overhead - compile_s, 0.0)
         ts["n_steps"] = n_steps
         if ts["steps"] > 0 and n_steps > 0:
             ts["steady_it_s"] = n_steps / ts["steps"]
@@ -1176,12 +1196,46 @@ class Trainer:
         score = self._clip_score_fn(gp, target, jnp.stack(imgs))
         return float(score) * 100.0
 
+    def _oracle_eval_metric(self, state: TrainState) -> float:
+        """PSNR of validation-circle renders against the analytic oracle
+        scene (white background on both sides — the oracle preset pins
+        bg_radius=-1).  Real converged quality of an oracle run, readable
+        from the log / best-checkpoint metadata."""
+        from ..core.poses import circle_poses
+        from ..core.rays import get_rays, intrinsics_from_fov
+        from ..evaluation.analytic import scene_views
+        cfg = self.cfg
+        H, W = cfg.h, cfg.w
+        eval_fn = self._get_view_fn(H, W)
+        scene = self.guidances["oracle"].scene
+        mses = []
+        for i in range(min(self.cfg.dataset_size_valid, 4)):
+            phi = (i / 4) * 360.0
+            img, _, _ = eval_fn(
+                state.ema_params, state.occ_grid, cfg.default_radius,
+                cfg.default_polar, phi, jax.random.PRNGKey(42))
+            poses, _ = circle_poses(
+                jnp.atleast_1d(cfg.default_radius),
+                jnp.atleast_1d(cfg.default_polar), jnp.atleast_1d(phi),
+                angle_overhead=cfg.angle_overhead,
+                angle_front=cfg.angle_front)
+            intr = intrinsics_from_fov(
+                jnp.asarray(cfg.default_fovy, jnp.float32), H, W)
+            ro, rd = get_rays(poses, intr, H, W)
+            tgt, _ = scene_views(ro.reshape(-1, 3), rd.reshape(-1, 3), scene)
+            mses.append(float(jnp.mean(
+                (img.reshape(-1, 3) - tgt) ** 2)))
+        return float(-10.0 * np.log10(max(float(np.mean(mses)), 1e-10)))
+
     def _eval_metric(self, state: TrainState) -> Optional[float]:
         """Masked PSNR against the known reference views (higher better);
-        CLIP prompt-similarity when a scorer is installed (text-only runs);
-        None otherwise (matching the reference's empty-metrics fallback)."""
+        analytic-scene PSNR for oracle runs; CLIP prompt-similarity when a
+        scorer is installed (text-only runs); None otherwise (matching the
+        reference's empty-metrics fallback)."""
         ref = self.ref_images
         if ref is None:
+            if "oracle" in self.guidances:
+                return self._oracle_eval_metric(state)
             if self._clip_scorer is not None:
                 return self._clip_eval_metric(state)
             return None

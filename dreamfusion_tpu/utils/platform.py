@@ -28,6 +28,17 @@ def force_cpu(n_devices: int | None = None) -> None:
     it is torn down and re-resolved.
     """
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # Silence XLA:CPU's spurious AOT feature-mismatch ERROR spam: the
+    # persistent compile cache stores CPU executables as AOT results whose
+    # compile-feature list includes TUNING pseudo-features
+    # (+prefer-no-gather/-scatter) that the loader's host-feature
+    # enumeration never contains — so every same-machine cache load logs a
+    # full-page "could lead to SIGILL" error and then runs fine.  Verified
+    # same-boot, same-process-writes-then-reads (round 4); the real
+    # cross-machine hazard is handled by the boot-scoped cache dir
+    # (dreamfusion_tpu/__init__._host_fingerprint).  Level 3 filters
+    # non-fatal C++ logs only; Python-side warnings/exceptions unaffected.
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     if n_devices is not None:
         flags = os.environ.get("XLA_FLAGS", "")
         if _COUNT_OPT in flags:

@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--resolution", type=int, default=256)
     ap.add_argument("--tex_res", type=int, default=1024)
     ap.add_argument("--workspace", default="/tmp/probe_export")
+    ap.add_argument("--ckpt", default=None,
+                    help="load a trained checkpoint from this workspace "
+                         "(e.g. /root/runs/r4_flagship) instead of the "
+                         "untrained blob — the degenerate saturated-field "
+                         "case costs very differently")
     args = ap.parse_args()
 
     from dreamfusion_tpu.config import Config, finalize
@@ -32,23 +37,28 @@ def main():
     from dreamfusion_tpu.training.trainer import Trainer
 
     t0 = time.time()
-    cfg = finalize(Config(text="x", workspace=args.workspace,
+    ws = args.ckpt if args.ckpt else args.workspace
+    cfg = finalize(Config(text="x", workspace=ws,
                           backbone="triplane", seed=0, eval_interval=-1,
                           use_tensorboard=False))
     tr = Trainer(cfg, guidances={}, guidance_params={}, embeddings={})
     state = tr.init_state(jax.random.PRNGKey(0))
+    if args.ckpt:
+        state, ok = tr.load_checkpoint(state, "latest")
+        print(f"[probe] checkpoint restore from {ws}: ok={ok}", flush=True)
+        assert ok
     # sacrificial tiny program (gotcha 9: first executable can hit ~100s)
     _ = float(jnp.sum(jnp.ones((8, 8))))
     print(f"[probe] init {time.time() - t0:.1f}s", flush=True)
 
     t = time.time()
-    path = export_mesh(tr, state, os.path.join(args.workspace, "mesh"),
+    path = export_mesh(tr, state, os.path.join("/tmp/probe_export", "mesh"),
                        resolution=args.resolution, tex_res=args.tex_res)
     print(f"[probe] export_mesh total {time.time() - t:.1f}s -> {path}",
           flush=True)
     # warm second run (persistent compile cache + jit cache)
     t = time.time()
-    export_mesh(tr, state, os.path.join(args.workspace, "mesh2"),
+    export_mesh(tr, state, os.path.join("/tmp/probe_export", "mesh2"),
                 resolution=args.resolution, tex_res=args.tex_res)
     print(f"[probe] export_mesh warm {time.time() - t:.1f}s", flush=True)
 

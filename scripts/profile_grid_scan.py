@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 
-def scan_pair(make, K1=1, K2=9, reps=3):
+def scan_pair(make, K1=1, K2=5, reps=3):
     """Per-iter seconds via (t_K2 − t_K1)/(K2 − K1)."""
     f1, f2 = make(K1), make(K2)
     ts = []
@@ -105,9 +105,11 @@ def main():
             return run
 
         results[f"E_fwd {name}"] = scan_pair(make_fwd)
+        print(f"{name}: fwd {results[f'E_fwd {name}']*1e3:.2f} ms",
+              flush=True)
         results[f"E_fwdbwd {name}"] = scan_pair(make_bwd)
-        print(f"{name}: fwd {results[f'E_fwd {name}']*1e3:.2f} ms, "
-              f"fwd+bwd {results[f'E_fwdbwd {name}']*1e3:.2f} ms", flush=True)
+        print(f"{name}: fwd+bwd {results[f'E_fwdbwd {name}']*1e3:.2f} ms",
+              flush=True)
 
     tspec = TriplaneSpec(resolution=256, channels=16, num_scales=1)
     tp = jax.device_put(init_triplane(key, tspec))

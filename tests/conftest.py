@@ -9,6 +9,9 @@ import os
 # Hard override: the container environment pins JAX_PLATFORMS=axon (remote
 # TPU tunnel); tests must run on local virtual CPU devices.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Spurious XLA:CPU AOT feature-check ERROR spam on every persistent-cache
+# load (see utils/platform.force_cpu for the full story)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

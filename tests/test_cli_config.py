@@ -172,6 +172,23 @@ def test_full_reference_flag_surface():
     assert cfg.progressive_level and cfg.save_guidance
 
 
+def test_oracle_guidance_preset():
+    """`--guidance oracle` (the zero-egress quality prior, guidance/
+    oracle.py): finalize pins latent warmup off, white eval background and
+    albedo-only shading so the analytic target is chaseable/measurable."""
+    cfg = parse(["--guidance", "oracle", "--oracle_scene", "sphere"])
+    assert cfg.guidance == ("oracle",)
+    assert cfg.oracle_scene == "sphere"
+    assert cfg.latent_iter_ratio == 0.0
+    assert cfg.bg_radius == -1.0
+    assert cfg.albedo_iter_ratio == 1.0
+
+    from dreamfusion_tpu.main import build_guidance
+    g, gp, emb = build_guidance(cfg, tiny=True)
+    assert gp["oracle"] == {}          # stateless prior
+    assert g["oracle"].scene == "sphere"
+
+
 def test_none_default_int_flags_parse_typed():
     """Optional[int]/Optional[float] config fields (seed, max_spp, ...)
     must parse as numbers, not strings — a str seed crashes

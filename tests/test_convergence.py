@@ -17,6 +17,7 @@ import pytest
 
 from dreamfusion_tpu.core.poses import circle_poses
 from dreamfusion_tpu.core.rays import get_rays, intrinsics_from_fov
+from dreamfusion_tpu.evaluation.analytic import scene_views
 from dreamfusion_tpu.models.renderer import NeRFRenderer, RenderFlags
 from dreamfusion_tpu.models.nerf import SHADING_IDS
 from dreamfusion_tpu.ops.occupancy import update_density_grid
@@ -43,45 +44,9 @@ def _target_views(n_views=4, scene: str = "sphere"):
     ro, rd = get_rays(poses, intr, H, W)
     ro = ro.reshape(-1, 3)
     rd = rd.reshape(-1, 3)
-
-    # ray-sphere intersection (get_rays dirs are NOT unit-norm — use the
-    # normalized direction for the analytic geometry)
-    rdn = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
-
-    if scene == "sphere":
-        spheres = [((0.0, 0.0, 0.0), RADIUS)]
-    else:
-        spheres = [((0.26, 0.0, 0.08), 0.36), ((-0.3, 0.0, -0.14), 0.24)]
-
-    best_t = jnp.full(ro.shape[:1], jnp.inf)
-    hit = jnp.zeros(ro.shape[:1], bool)
-    normal = jnp.zeros_like(ro)
-    p_hit = jnp.zeros_like(ro)
-    for center, rad in spheres:
-        ctr = jnp.asarray(center)
-        oc = ro - ctr
-        b = jnp.sum(oc * rdn, axis=-1)
-        c = jnp.sum(oc * oc, axis=-1) - rad ** 2
-        disc = b * b - c
-        h = (disc > 0) & (-b - jnp.sqrt(jnp.maximum(disc, 0.0)) > 0)
-        t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
-        closer = h & (t < best_t)
-        best_t = jnp.where(closer, t, best_t)
-        p = ro + rdn * t[:, None]
-        n = (p - ctr) / rad
-        normal = jnp.where(closer[:, None], n, normal)
-        p_hit = jnp.where(closer[:, None], p, p_hit)
-        hit = hit | h
-
-    if scene == "sphere":
-        color = 0.5 + 0.5 * normal
-    else:
-        # smooth 3D texture (products of sines — band-limited, so a field
-        # at the benchmark's encoder resolution can represent it)
-        tex = (jnp.sin(9.0 * p_hit[:, 0]) * jnp.sin(7.0 * p_hit[:, 1])
-               * jnp.sin(8.0 * p_hit[:, 2]))
-        color = jnp.clip(0.35 + 0.3 * normal + 0.3 * tex[:, None], 0.0, 1.0)
-    img = jnp.where(hit[:, None], color, 1.0)
+    # closed-form scene render lives in the package now (it also powers
+    # `--guidance oracle` runs): evaluation/analytic.py
+    img, hit = scene_views(ro, rd, scene)
     return ro, rd, img, hit
 
 

@@ -59,6 +59,49 @@ class TestMarchingCubes:
         assert not e or set(e.values()) == {2}
 
 
+class TestSigmasToMesh:
+    def test_noise_field_guard_downsamples_and_finishes(self):
+        """A diverged/random field is a 3D noise surface — tens of millions
+        of raw MC triangles at 256³ (the r4 flagship export ground for
+        849 s on one).  sigmas_to_mesh must estimate the surface cheaply,
+        extract at a reduced resolution, and return a bounded mesh in
+        seconds instead."""
+        import time
+
+        from dreamfusion_tpu.mesh.export import sigmas_to_mesh
+
+        rng = np.random.default_rng(0)
+        sig = rng.uniform(0.0, 20.0, (128, 128, 128)).astype(np.float32)
+        sig[rng.uniform(size=sig.shape) < 0.1] = np.inf  # diverged cells
+        msgs = []
+        t0 = time.time()
+        v, t = sigmas_to_mesh(sig, 10.0, 1.0, decimate_target=10_000,
+                              log=msgs.append)
+        wall = time.time() - t0
+        assert any("degenerate surface" in m for m in msgs), msgs
+        assert len(t) <= 10_000 * 1.1
+        assert np.isfinite(v).all()
+        # quadric decimation's optimal vertex placement may drift a hair
+        # outside the lattice hull
+        assert np.abs(v).max() <= 1.05
+        assert wall < 120, f"guarded degenerate export took {wall:.0f}s"
+
+    def test_sphere_field_untouched_by_guard(self):
+        """A real object's surface never trips the guard: full-resolution
+        extraction, same mesh as calling the native ops directly."""
+        from dreamfusion_tpu.mesh.export import sigmas_to_mesh
+
+        sig = sphere_grid(64, 0.6)
+        msgs = []
+        v, t = sigmas_to_mesh(sig, 0.0, 1.0, decimate_target=0,
+                              clean=False, log=msgs.append)
+        assert not msgs
+        v2, t2 = meshops.marching_cubes(sig, 0.0)
+        assert len(t) == len(t2)
+        r = np.linalg.norm(v, axis=1)
+        np.testing.assert_allclose(r, 0.6, atol=0.05)
+
+
 class TestCleanDecimate:
     def test_clean_removes_small_components_and_welds(self):
         # big sphere + tiny far-away triangle

@@ -188,6 +188,52 @@ def test_sds_reconstruction_psnr(sds_fitted):
         f"({psnr0:.2f} → {psnr1:.2f})")
 
 
+def test_pixel_oracle_trainer_convergence(tmp_path):
+    """The CLI oracle path (`--guidance oracle`): the REAL Trainer — fused
+    step, random cameras, occupancy-grid updates, Adan, EMA, the oracle
+    branch of _guidance_loss — driven by the pixel-space oracle prior
+    (guidance/oracle.py PixelOracleGuidance) until the analytic-scene eval
+    metric (trainer._oracle_eval_metric) shows reconstruction.  This is the
+    tiny CPU twin of the flagship oracle run (scripts/run_flagship.py
+    --oracle)."""
+    from dreamfusion_tpu.config import Config, finalize
+    from dreamfusion_tpu.guidance.oracle import PixelOracleGuidance
+    from dreamfusion_tpu.training.trainer import Trainer
+
+    cfg = finalize(Config(
+        guidance=("oracle",), oracle_scene="sphere",
+        workspace=str(tmp_path / "ws"), backbone="triplane",
+        w=32, h=32, H=32, W=32, iters=240, dataset_size_train=60,
+        batch_size=2, triplane_resolution=32, triplane_channels=8,
+        triplane_scales=2, hidden_dim=32, num_layers=2,
+        grid_size=32, grid_coarse_steps=24, grid_fine_steps=24,
+        update_extra_interval=16, fp16=False, seed=0, eval_interval=-1,
+        lambda_3d_normal_smooth=0.0, lambda_opacity=0.0,
+        use_tensorboard=False, guidance_scale=1.0, lr=1e-2,
+    ))
+    assert cfg.latent_iter_ratio == 0.0   # oracle preset fixup
+    assert cfg.bg_radius == -1.0
+    # albedo-only: random lambertian shading draws chase an unlit analytic
+    # target with an inconsistent gradient (measured: 15.4 vs 27.9 dB)
+    assert cfg.albedo_iter_ratio == 1.0
+    g = PixelOracleGuidance(
+        __import__("dreamfusion_tpu.guidance.sd", fromlist=["SDConfig"])
+        .SDConfig(tiny=True), scene="sphere")
+    tr = Trainer(cfg, guidances={"oracle": g},
+                 guidance_params={"oracle": g.init_params(jax.random.PRNGKey(0))},
+                 embeddings={"oracle": jnp.zeros(())})
+    state = tr.init_state(jax.random.PRNGKey(0))
+    psnr0 = tr._oracle_eval_metric(state)
+    state = tr.train(state, max_steps=cfg.iters)
+    psnr1 = tr._oracle_eval_metric(state)
+    assert np.isfinite(psnr1)
+    # measured (seed 0, lr 1e-2): 9.1 -> 27.9 dB at 240 steps
+    assert psnr1 >= 20.0, f"oracle-trainer PSNR {psnr1:.2f} dB < 20 dB bar"
+    assert psnr1 - psnr0 >= 6.0, (
+        f"oracle SDS gave only {psnr1 - psnr0:.2f} dB over init "
+        f"({psnr0:.2f} -> {psnr1:.2f})")
+
+
 if __name__ == "__main__":
     import sys
 

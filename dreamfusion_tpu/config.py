@@ -123,16 +123,20 @@ class Config:
     hidden_dim_bg: int = 32
     num_layers_bg: int = 2
     # hash grid — TPU-first re-tiling of the reference's L16×C2 budget
-    # (gridencoder defaults, encoding.py:68-76): 8 levels × 4 features
-    # keeps the total feature count (32) and parameter budget while
-    # HALVING the gather/scatter row count per sample (row latency, not
-    # bandwidth, prices TPU encoder lookups — CLAUDE.md gotcha 3).
-    # Measured: equal convergence PSNR (58.1 vs 57.9 dB sphere target,
-    # L8C4 vs L16C2 at log2T=15) and 2.83 vs 2.19 it/s on the TPU bench.
-    # Bitwise tcnn parity: --grid_levels 16 --grid_features_per_level 2
-    # --grid_hash xor.
-    grid_levels: int = 8
-    grid_features_per_level: int = 4
+    # (gridencoder defaults, encoding.py:68-76): fewer, wider levels keep
+    # the total feature count (32) and parameter budget while cutting the
+    # gather/scatter ROW count per sample — rows, not bytes, price TPU
+    # encoder lookups (CLAUDE.md gotcha 3), and per-row latency grows with
+    # the gathered table's footprint (scripts/profile_grid_scan.py, r4:
+    # encoder fwd+bwd at 131k pts — L16C2 282 ms, L8C4 194 ms, L4C8
+    # 128 ms; fwd 58/53/15 ms — the L4C8 drop is also fewer hashed levels,
+    # so a far smaller corner-packed table).  Quality at L4C8 holds:
+    # 55.2 dB sphere / 58.3 dB two-sphere (vs 57.9/60.8 at L8C4) — a
+    # ~-2.5 dB trade at PSNR levels far above SDS-generation fidelity,
+    # for ~1.5× step rate.  Bitwise tcnn parity: --grid_levels 16
+    # --grid_features_per_level 2 --grid_hash xor.
+    grid_levels: int = 4
+    grid_features_per_level: int = 8
     grid_log2_hashmap_size: int = 19
     grid_base_resolution: int = 16
     grid_desired_resolution: int = 2048

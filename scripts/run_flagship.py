@@ -28,11 +28,14 @@ def main():
     ap.add_argument("--iters", type=int, default=10000)
     ap.add_argument("--workspace", default="/root/runs/r4_flagship")
     ap.add_argument("--out", default=os.path.join(ROOT, "RUN_r04.json"))
-    ap.add_argument("--eval_interval", type=int, default=10,
-                    help="epochs between 800² evals (10 → 10 evals over a "
-                         "10k run; the 4-view 800² eval costs ~4.7 s on "
-                         "this chip, scripts/probe_eval_cost.py)")
-    ap.add_argument("--save_interval", type=int, default=10,
+    ap.add_argument("--eval_interval", type=int, default=25,
+                    help="epochs between 800² evals (25 → 4 evals over a "
+                         "10k run; a healthy-field 4-view 800² eval costs "
+                         "~4.7 s on this chip, but a DEGENERATE field — "
+                         "random-weight SD saturates the occupancy grid — "
+                         "costs ~33 s/eval (RUN_r04's eval phase), so the "
+                         "random-prior timing run keeps the count low)")
+    ap.add_argument("--save_interval", type=int, default=25,
                     help="epochs between rolling checkpoints: each save "
                          "device_gets the full train state through the "
                          "~4 MB/s tunnel and steals download bandwidth "

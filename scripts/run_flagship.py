@@ -107,6 +107,18 @@ def main():
     train_wall = stats.get("train_wall", 0.0)
     has_mp4 = any(f.endswith((".mp4", ".avi")) for f in artifacts["video"])
     has_mesh = any(f.endswith(".obj") for f in artifacts["mesh"])
+    # One-time per-process startup tax, measured and attributed: with a
+    # fully WARM persistent cache (dispatch 25.9 s) the first fused-step
+    # fence still took 744.6 s (r4 flagship log) — a device/tunnel-side
+    # first-execution cost that neither pre-warming nor the cache removes,
+    # and that the r3/r4-old runs smeared across "fence_wait_in_steps"
+    # (630 s) instead.  It is environment (axon tunnel), not step compute:
+    # the same step executes at ~75 ms steady two epochs later.  Report
+    # train wall both raw and ex-startup so the steady-state claim is
+    # auditable against the north star.
+    startup = (stats.get("first_iter_dispatch", 0.0) +
+               stats.get("first_iter_fence", 0.0))
+    train_ex_startup = max(train_wall - startup, 0.0)
     out = {
         "iters": args.iters,
         "returncode": proc.returncode,
@@ -116,9 +128,13 @@ def main():
         "post_train_s": round(total - train_wall, 1),  # test video + mesh
         "phases": {k: round(v, 1) for k, v in stats.items()
                    if isinstance(v, (int, float))},
+        "startup_s": round(startup, 1),
+        "train_wall_ex_startup_min": round(train_ex_startup / 60.0, 2),
         "north_star_min": 15.0,
         "beats_north_star": bool(train_wall <= 15 * 60 and
                                  proc.returncode == 0),
+        "beats_north_star_ex_startup": bool(
+            train_ex_startup <= 15 * 60 and proc.returncode == 0),
         "has_video_container": has_mp4,
         "has_mesh_obj": has_mesh,
         "eval_interval_epochs": args.eval_interval,

@@ -87,7 +87,7 @@ class CLIPLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, causal_mask: Optional[jax.Array]):
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x).astype(self.dtype)
         B, N, C = h.shape
         hd = self.hidden // self.heads
         q = nn.Dense(self.hidden, dtype=self.dtype, name="q")(h)
@@ -101,7 +101,7 @@ class CLIPLayer(nn.Module):
         o = nn.Dense(self.hidden, dtype=self.dtype, name="attn_out")(
             o.reshape(B, N, C))
         x = x + o
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x).astype(self.dtype)
         h = nn.Dense(self.hidden * 4, dtype=self.dtype, name="fc1")(h)
         h = _quick_gelu(h) if self.quick_gelu else nn.gelu(h, approximate=False)
         h = nn.Dense(self.hidden, dtype=self.dtype, name="fc2")(h)
@@ -123,7 +123,7 @@ class CLIPTextEncoder(nn.Module):
         for i in range(cfg.num_layers):
             x = CLIPLayer(cfg.hidden_size, cfg.num_heads, cfg.use_quick_gelu,
                           cfg.dtype, name=f"layer_{i}")(x, causal_mask=True)
-        x = nn.LayerNorm(dtype=jnp.float32, name="final_ln")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_ln")(x)
         return x
 
     def pooled(self, input_ids: jax.Array, eos_token_id: int = 49407):
@@ -157,11 +157,11 @@ class CLIPVisionEncoder(nn.Module):
         pos = self.param("position_embedding", nn.initializers.normal(0.02),
                          (n_pos, cfg.hidden_size))
         x = x + pos[None].astype(cfg.dtype)
-        x = nn.LayerNorm(dtype=jnp.float32, name="pre_ln")(x).astype(cfg.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="pre_ln")(x).astype(cfg.dtype)
         for i in range(cfg.num_layers):
             x = CLIPLayer(cfg.hidden_size, cfg.num_heads, cfg.use_quick_gelu,
                           cfg.dtype, name=f"layer_{i}")(x, causal_mask=None)
-        pooled = nn.LayerNorm(dtype=jnp.float32, name="post_ln")(x[:, 0])
+        pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="post_ln")(x[:, 0])
         proj = nn.Dense(cfg.projection_dim, use_bias=False, dtype=jnp.float32,
                         name="visual_projection")(pooled)
         return proj, x

@@ -231,11 +231,11 @@ class TextTimeEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(name="norm1", dtype=jnp.float32)(
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=jnp.float32)(
             x.astype(jnp.float32))
         h = AttentionPooling(self.num_heads, name="pool")(h)
         h = nn.Dense(self.time_embed_dim, name="proj")(h)
-        return nn.LayerNorm(name="norm2", dtype=jnp.float32)(h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=jnp.float32)(h)
 
 
 class IFUNet(nn.Module):

@@ -176,8 +176,15 @@ class _FusedGroupNorm(nn.Module):
 
 class GroupNorm32(nn.Module):
     """GroupNorm(32) computed in fp32 (matches the reference stacks).
-    Falls back to fewer groups for tiny test channel counts."""
+    Falls back to fewer groups for tiny test channel counts.
+
+    epsilon matters for weight parity (caught by tests/test_torch_oracles):
+    the UNet ResBlock/out norms use torch's default 1e-5
+    (openaimodel normalization()), while the VAE and SpatialTransformer
+    norms use 1e-6 (ldm model.py:38 / attention.py:77 Normalize; diffusers
+    matches both)."""
     dtype: Any = jnp.bfloat16
+    epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
@@ -186,10 +193,11 @@ class GroupNorm32(nn.Module):
         while x.shape[-1] % g:
             g //= 2
         if _GN_FUSED:
-            y = _FusedGroupNorm(num_groups=g, name="GroupNorm_0")(x)
+            y = _FusedGroupNorm(num_groups=g, epsilon=self.epsilon,
+                                name="GroupNorm_0")(x)
         else:
-            y = nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=_GN_DTYPE)(
-                x.astype(_GN_DTYPE))
+            y = nn.GroupNorm(num_groups=g, epsilon=self.epsilon,
+                             dtype=_GN_DTYPE)(x.astype(_GN_DTYPE))
         return y.astype(orig)
 
 
@@ -255,7 +263,9 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        ln = lambda name: nn.LayerNorm(dtype=_LN_DTYPE, name=name)
+        # torch nn.LayerNorm default eps (ldm attention.py / diffusers)
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=_LN_DTYPE,
+                                       name=name)
         x = x + CrossAttention(self.num_heads, self.head_dim,
                                dtype=self.dtype, name="attn1")(ln("norm1")(x).astype(self.dtype))
         x = x + CrossAttention(self.num_heads, self.head_dim,
@@ -279,7 +289,7 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x, context):
         B, H, W, C = x.shape
         res = x
-        h = GroupNorm32(dtype=self.dtype)(x)
+        h = GroupNorm32(dtype=self.dtype, epsilon=1e-6)(x)
         h = MMConv(C, (1, 1), dtype=self.dtype, name="proj_in")(h)
         h = h.reshape(B, H * W, C)
         for i in range(self.depth):

@@ -52,10 +52,10 @@ class VAEResnet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.silu(GroupNorm32(dtype=self.dtype)(x))
+        h = nn.silu(GroupNorm32(epsilon=1e-6, dtype=self.dtype)(x))
         h = MMConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
-        h = nn.silu(GroupNorm32(dtype=self.dtype)(h))
+        h = nn.silu(GroupNorm32(epsilon=1e-6, dtype=self.dtype)(h))
         h = MMConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         if x.shape[-1] != self.out_channels:
@@ -71,7 +71,7 @@ class VAEAttn(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = GroupNorm32(dtype=self.dtype)(x)
+        h = GroupNorm32(epsilon=1e-6, dtype=self.dtype)(x)
         q = MMConv(C, (1, 1), dtype=self.dtype, name="q")(h).reshape(B, H * W, 1, C)
         k = MMConv(C, (1, 1), dtype=self.dtype, name="k")(h).reshape(B, H * W, 1, C)
         v = MMConv(C, (1, 1), dtype=self.dtype, name="v")(h).reshape(B, H * W, 1, C)
@@ -101,7 +101,7 @@ class Encoder(nn.Module):
         h = VAEResnet(ch, dtype=dt, name="mid_res_0")(h)
         h = VAEAttn(dtype=dt, name="mid_attn")(h)
         h = VAEResnet(ch, dtype=dt, name="mid_res_1")(h)
-        h = nn.silu(GroupNorm32(dtype=dt)(h))
+        h = nn.silu(GroupNorm32(epsilon=1e-6, dtype=dt)(h))
         h = MMConv(2 * cfg.z_channels, (3, 3), padding=1, dtype=jnp.float32,
                     name="conv_out")(h.astype(jnp.float32))
         return MMConv(2 * cfg.z_channels, (1, 1), dtype=jnp.float32,
@@ -135,7 +135,7 @@ class Decoder(nn.Module):
                 h = h.reshape(B, H * 2, W * 2, C)
                 h = MMConv(ch, (3, 3), padding=1, dtype=dt,
                             name=f"up_{lvl}_upsample")(h)
-        h = nn.silu(GroupNorm32(dtype=dt)(h))
+        h = nn.silu(GroupNorm32(epsilon=1e-6, dtype=dt)(h))
         return MMConv(3, (3, 3), padding=1, dtype=jnp.float32,
                        name="conv_out")(h.astype(jnp.float32))
 

@@ -103,11 +103,10 @@ def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
     key = jax.random.PRNGKey(0)
     g = StableDiffusionGuidance(sdc)
     note("init guidance params...")
-    gp = g.init_params(key)
-    if not smoke:
-        # frozen guidance in bf16 (reference runs fp16 guidance, main.py:172)
-        from dreamfusion_tpu.utils.params import cast_f32_fused
-        gp = cast_f32_fused(gp, jnp.bfloat16)
+    # frozen guidance in bf16 (reference runs fp16 guidance, main.py:172),
+    # generated directly in bf16 — one slab program per tower, no separate
+    # cast program (first-execution cost is per-program, gotcha 9)
+    gp = g.init_params(key, dtype=None if smoke else jnp.bfloat16)
     emb = prepare_text_embeddings(g, gp, cfg.text)
     emb = {k: v.astype(jnp.float32) for k, v in emb.items()}
 
@@ -131,9 +130,31 @@ def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
     jax.block_until_ready(metrics["loss"])
     note(f"train step compiled+ran in {_t.time()-t:.1f}s")
 
+    flops = _step_flops(step_fn, state, note)
     return _timed_repeats(step_fn, state, steps, note,
                           update_grid=update_grid,
-                          update_interval=cfg.update_extra_interval)
+                          update_interval=cfg.update_extra_interval), flops
+
+
+def _step_flops(step_fn, state, note) -> float:
+    """FLOPs of one fused step from XLA's own cost model
+    (compiled.cost_analysis()) — feeds the tflops_per_s / mfu fields
+    (VERDICT r4 item 3).  The lower().compile() hits the in-process /
+    persistent compile cache (identical HLO), so this is bookkeeping, not
+    a second compile."""
+    import jax
+    try:
+        lowered = step_fn.jitted.lower(state, jax.random.PRNGKey(2),
+                                       step_fn.gp_dev, step_fn.emb_dev)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        note(f"cost_analysis: {flops / 1e12:.3f} TFLOP/step")
+        return flops
+    except Exception as e:  # backend without cost_analysis support
+        note(f"cost_analysis unavailable ({type(e).__name__}: {e})")
+        return 0.0
 
 
 def _timed_repeats(step_fn, state, steps: int, note, update_grid=None,
@@ -364,15 +385,16 @@ def main():
         repeats = run_bench_zero123(steps=args.steps, smoke=args.smoke)
     else:
         metric = "sds_iterations_per_sec"
-        repeats = run_bench(smoke=args.smoke, steps=args.steps,
-                            render_hw=args.hw,
-                            backbone=args.backbone, fine_steps=args.fine,
-                            coarse_steps=args.coarse,
-                            triplane_scales=args.scales,
-                            grid_hash=args.grid_hash,
-                            split_step=args.split,
-                            grid_levels=args.grid_levels,
-                            grid_features=args.grid_features)
+        repeats, flops = run_bench(
+            smoke=args.smoke, steps=args.steps,
+            render_hw=args.hw,
+            backbone=args.backbone, fine_steps=args.fine,
+            coarse_steps=args.coarse,
+            triplane_scales=args.scales,
+            grid_hash=args.grid_hash,
+            split_step=args.split,
+            grid_levels=args.grid_levels,
+            grid_features=args.grid_features)
     # headline = MEDIAN of the timed repeats (VERDICT r2: best-of-3 hid a
     # below-north-star median); best + all repeats reported alongside.
     it_s = sorted(repeats)[len(repeats) // 2]
@@ -387,6 +409,15 @@ def main():
         # the 11.11 it/s north star is defined for the NeRF+SD step only;
         # a ratio against it is meaningless for dmtet/zero123 (ADVICE r3)
         out["vs_baseline"] = round(it_s / BASELINE_IT_S, 3)
+        if flops > 0 and not args.smoke:
+            # achieved TFLOP/s + model FLOPs utilization vs the v5e bf16
+            # peak (197 TFLOP/s; the bench chip is a TPU v5 lite).  XLA's
+            # cost model counts every op's FLOPs in the fused step —
+            # render fwd+bwd, UNet CFG-2, VAE enc fwd+bwd, Adan.
+            tflops = flops * it_s / 1e12
+            out["tflops_per_s"] = round(tflops, 2)
+            out["flops_per_step"] = flops
+            out["mfu"] = round(tflops / 197.0, 4)
     print(json.dumps(out))
 
 

@@ -255,6 +255,15 @@ class Config:
                                   # fused step: slower steady-state, but
                                   # render-knob changes skip the big
                                   # guidance cold compile
+    merge_phases: bool = True     # ONE executable for the normal-as-latent
+                                  # warmup AND the main phase (traced
+                                  # lax.cond on the warmup predicate) when
+                                  # guidance is SD-only: each big program's
+                                  # FIRST execution through the tunnel
+                                  # costs ~0.5 s per serialized MB
+                                  # (scripts/probe_fence_tax.py), so one
+                                  # program instead of two is ~60 s of a
+                                  # 10k run's wall clock
     scan_blocks: bool = False     # dispatch lax.scan blocks of
                                   # dataset_size_train steps instead of
                                   # per-step programs.  Measured DEAD END
@@ -314,12 +323,16 @@ def apply_IF(cfg: Config) -> Config:
 
 
 def apply_image_mode(cfg: Config) -> Config:
-    """Image-only conditioning → zero123 guidance (main.py:196-232)."""
+    """Image-only conditioning → zero123 guidance (main.py:196-232).
+    An explicit oracle guidance (`--guidance image_oracle` with
+    `--image analytic:<scene>` — the zero-egress quality run) is kept."""
+    gd = cfg.guidance if any("oracle" in g for g in cfg.guidance) \
+        else ("zero123",)
     if cfg.dont_override_stuff:
-        return replace(cfg, guidance=("zero123",))
+        return replace(cfg, guidance=gd)
     return replace(
         cfg,
-        guidance=("zero123",),
+        guidance=gd,
         fovy_range=(cfg.default_fovy, cfg.default_fovy),
         guidance_scale=5.0,
         lambda_3d_normal_smooth=10.0,
@@ -374,7 +387,7 @@ def finalize(cfg: Config) -> Config:
         # the reference's alternative CUDA/Taichi hash-grid backends
         # (main.py:289-306) are one implementation here
         cfg = replace(cfg, backbone="grid")
-    if "oracle" in cfg.guidance:
+    if "oracle" in cfg.guidance or "image_oracle" in cfg.guidance:
         # the pixel-space oracle prior consumes rgb, not normal-as-latent
         # warmup images (training/trainer.py _guidance_loss); bg_radius=-1
         # keeps eval/test renders on the same white background as the

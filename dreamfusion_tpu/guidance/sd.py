@@ -76,8 +76,15 @@ class StableDiffusionGuidance:
             "scaled_linear", cfg.num_train_timesteps)
 
     # ---- init (random weights; real weights via guidance/weights.py) ----
-    def init_params(self, key: jax.Array) -> Dict[str, Any]:
+    def init_params(self, key: jax.Array, dtype=None) -> Dict[str, Any]:
+        """dtype: generation dtype for the full-size towers (pass
+        jnp.bfloat16 to emit the frozen-tower dtype directly — one slab
+        program per tower, no separate cast; startup cost is per-program,
+        scripts/probe_fence_tax.py)."""
+        import numpy as np
+
         from ..utils.params import fast_random_params
+        dtype = np.float32 if dtype is None else dtype
         ku, kv, kt = jax.random.split(key, 3)
         ls = self.cfg.latent_size
         ims = ls * self.vae.cfg.downscale
@@ -99,15 +106,15 @@ class StableDiffusionGuidance:
             lambda: self.unet.init(
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, ls, ls, self.unet.cfg.in_channels)),
-                jnp.zeros((1,)), jnp.zeros((1, tl, ctx)))["params"], seed=0)
+                jnp.zeros((1,)), jnp.zeros((1, tl, ctx)))["params"], seed=0, dtype=dtype)
         vae_p = fast_random_params(
             lambda: self.vae.init(jax.random.PRNGKey(0),
                                   jnp.zeros((1, ims, ims, 3)),
-                                  jax.random.PRNGKey(0))["params"], seed=1)
+                                  jax.random.PRNGKey(0))["params"], seed=1, dtype=dtype)
         text_p = fast_random_params(
             lambda: self.text_encoder.init(
                 jax.random.PRNGKey(0),
-                jnp.zeros((1, tl), jnp.int32))["params"], seed=2)
+                jnp.zeros((1, tl), jnp.int32))["params"], seed=2, dtype=dtype)
         return {"unet": unet_p, "vae": vae_p, "text": text_p}
 
     def load_pretrained(self, root: str) -> Dict[str, Any]:
@@ -158,7 +165,30 @@ class StableDiffusionGuidance:
 
     # ---- latent prep shared by sds / sds_perpneg ------------------------
     def _to_latents(self, params, key, pred_rgb, as_latent):
-        B = pred_rgb.shape[0]
+        """as_latent may be a python bool (two separate compiled programs,
+        the pre-r5 behavior) or a TRACED scalar bool.  The traced form lets
+        one fused executable cover both the normal-as-latent warmup and the
+        main phase — first-execution of a program through the tunnel costs
+        ~0.5 s per serialized MB (scripts/probe_fence_tax.py), so one
+        ~100 MB step program instead of two is ~60 s of startup.  Traced
+        callers must pass [B, h, w, 4] (rgb + alpha); lax.cond executes
+        only the taken branch per step, and its transpose keeps the VAE
+        backward out of warmup steps."""
+        if not isinstance(as_latent, bool):
+            assert pred_rgb.shape[-1] == 4, (
+                "traced as_latent requires a 4-channel (rgb+alpha) render")
+
+            def direct(p4):
+                return resize_bilinear(
+                    p4, (self.cfg.latent_size,
+                         self.cfg.latent_size)) * 2.0 - 1.0
+
+            def vae(p4):
+                size = self.cfg.image_size
+                rgb = resize_bilinear(p4[..., :3], (size, size))
+                return self.encode_imgs(params, key, rgb)
+
+            return jax.lax.cond(as_latent, direct, vae, pred_rgb)
         if as_latent:
             # pred_rgb is [B, h, w, 4] (rgb + alpha); straight to latent space
             lat = resize_bilinear(

@@ -170,6 +170,7 @@ def build_guidance(cfg: Config, tiny: bool = False, ref_images=None):
     """Instantiate guidance modules + params + embeddings
     (reference main.py:378-394 + Trainer.prepare_embeddings)."""
     import jax
+    import jax.numpy as jnp
 
     from .guidance.embeddings import prepare_text_embeddings
     from .guidance.sd import SDConfig, StableDiffusionGuidance
@@ -184,9 +185,14 @@ def build_guidance(cfg: Config, tiny: bool = False, ref_images=None):
                            image_size=16 if tiny else 512,
                            latent_size=8 if tiny else 64)
             g = StableDiffusionGuidance(sdc)
+            # random towers generate directly in the frozen-guidance dtype
+            # (one slab program per tower; no separate cast program —
+            # first-execution cost is per-program, CLAUDE.md gotcha 9)
+            init_dtype = jnp.bfloat16 if (cfg.fp16 and not tiny) else None
             p = g.load_pretrained(cfg.pretrained_root) if (
                 cfg.pretrained_root and not tiny and
-                hasattr(g, "load_pretrained")) else g.init_params(key)
+                hasattr(g, "load_pretrained")) else g.init_params(
+                    key, dtype=init_dtype)
             guidances[name] = g
             gparams[name] = p
             embeddings[name] = prepare_text_embeddings(
@@ -229,6 +235,28 @@ def build_guidance(cfg: Config, tiny: bool = False, ref_images=None):
             guidances[name] = g
             gparams[name] = g.init_params(key)
             embeddings[name] = jnp.zeros(())
+        elif name == "image_oracle":
+            # zero123-shaped pixel oracle (angle-weighted pose-delta SDS
+            # toward analytic novel views) — the zero-egress quality run
+            # for the image-conditioned pipeline (VERDICT r4 item 4);
+            # pairs with --image analytic:<scene>
+            import numpy as np
+
+            from .guidance.oracle import ImageOracleGuidance
+            assert ref_images is not None and cfg.image and \
+                cfg.image.startswith("analytic:"), \
+                "--guidance image_oracle needs --image analytic:<scene>"
+            g = ImageOracleGuidance(
+                SDConfig(t_range=cfg.t_range, tiny=tiny),
+                scene=cfg.image.split(":", 1)[1],
+                grad_scale_mode=cfg.zero123_grad_scale)
+            guidances[name] = g
+            gparams[name] = g.init_params(key)
+            embeddings[name] = {
+                "ref_polars": np.asarray(ref_images.polars, np.float32),
+                "ref_azimuths": np.asarray(ref_images.azimuths, np.float32),
+                "ref_radii": np.asarray(ref_images.radii, np.float32),
+            }
         elif name == "clip":
             from .guidance.clip import CLIPConfig, CLIPGuidance
             g = CLIPGuidance(CLIPConfig(tiny=tiny))
@@ -284,7 +312,14 @@ def main(argv=None):
         mesh = make_mesh()
 
     ref_images = None
-    if cfg.image is not None or cfg.image_config is not None:
+    if cfg.image is not None and cfg.image.startswith("analytic:"):
+        # zero-egress image-conditioned quality runs: the reference image
+        # is the analytic scene's default view (VERDICT r4 item 4; pairs
+        # with --guidance image_oracle)
+        from .training.image_data import analytic_ref_images
+        ref_images = analytic_ref_images(cfg, cfg.h, cfg.w,
+                                         cfg.image.split(":", 1)[1])
+    elif cfg.image is not None or cfg.image_config is not None:
         from .training.image_data import load_ref_images
         ref_images = load_ref_images(cfg, cfg.h, cfg.w)
 
@@ -381,4 +416,10 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        # CPU runs load XLA:CPU AOT cache entries; the spurious
+        # feature-mismatch ERROR spam can only be silenced via the
+        # exec-time env (see maybe_reexec_quiet_cpp_logs)
+        from .utils.platform import maybe_reexec_quiet_cpp_logs
+        maybe_reexec_quiet_cpp_logs("dreamfusion_tpu.main")
     main()

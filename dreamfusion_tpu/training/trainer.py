@@ -325,14 +325,14 @@ class Trainer:
                     loss = loss + g.sds_loss_perpneg(
                         gp, keys[i], pn.text_z, pn.weights, uncond, pred_rgb,
                         guidance_scale=cfg.guidance_scale,
-                        as_latent=as_latent and name == "SD",
+                        as_latent=as_latent if name == "SD" else False,
                         grad_scale=cfg.lambda_guidance)
                 else:
                     cond = interpolate_view_embedding(emb, batch.delta_azimuth)
                     loss = loss + g.sds_loss(
                         gp, keys[i], cond, uncond, pred_rgb,
                         guidance_scale=cfg.guidance_scale,
-                        as_latent=as_latent and name == "SD",
+                        as_latent=as_latent if name == "SD" else False,
                         grad_scale=cfg.lambda_guidance)
             elif name == "zero123":
                 loss = loss + g.sds_loss(
@@ -345,6 +345,17 @@ class Trainer:
                 w = 10.0 * (1.0 - jnp.abs(batch.delta_azimuth[0]) / 180.0) \
                     * cfg.lambda_guidance
                 loss = loss + g.loss(gp, emb, pred_rgb, grad_scale=w)
+            elif name == "image_oracle":
+                # zero123-shaped pixel oracle: pose-delta angle grad scale
+                # (the real zero123 weighting fn) + analytic novel-view
+                # targets (guidance/oracle.ImageOracleGuidance)
+                assert not as_latent, \
+                    "--guidance image_oracle requires latent_iter_ratio 0"
+                b = jnp.ones((3,), pred_rgb.dtype) if bg is None else bg
+                loss = loss + g.sds_loss_rays_pose(
+                    keys[i], batch.rays_o, batch.rays_d, b, pred_rgb, emb,
+                    batch.delta_polar, batch.delta_azimuth,
+                    batch.delta_radius, grad_scale=cfg.lambda_guidance)
             elif name == "oracle":
                 # closed-form pixel-space SDS toward analytic target views
                 # of the step's sampled cameras (guidance/oracle.py) — the
@@ -386,6 +397,17 @@ class Trainer:
         return loss
 
     # ------------------------------------------------------------------
+    def _fused_phase_ok(self) -> bool:
+        """Whether the warmup+main phases can share ONE executable
+        (phase='fused'): requires the traced-as_latent SD path (4-channel
+        render feeds guidance; other priors expect rgb and/or assert on
+        static as_latent) and the fused single-program step mode."""
+        cfg = self.cfg
+        return (getattr(cfg, "merge_phases", True) and not cfg.split_step
+                and cfg.latent_iter_ratio > 0
+                and set(self.guidances) == {"SD"})
+
+    # ------------------------------------------------------------------
     def _make_train_step(self, phase: str):
         """phase: 'latent' (normal-as-latent warmup) or 'main'.
 
@@ -407,6 +429,17 @@ class Trainer:
         optimizer = self.optimizer
         H, W = cfg.h, cfg.w
         latent_phase = phase == "latent"
+        # phase == "fused": ONE program covers the normal-as-latent warmup
+        # AND the main phase — the phase becomes a traced predicate of
+        # state.step (lax.cond picks the latents path per step).  Why: the
+        # per-program first-execution tax through the tunnel is ~0.5 s per
+        # serialized MB (scripts/probe_fence_tax.py), and the latent/main
+        # pair cost ~60 s EACH at startup/mid-run in RUN_r04; the fused
+        # binary is ~main-sized because only the tiny direct-resize branch
+        # is added.  Side effect (reference-faithful): the orient /
+        # normal-smooth regularizers now apply during warmup too, as the
+        # reference's unconditional block does (nerf/utils.py:687-713).
+        fused = phase == "fused"
 
         flags = RenderFlags(
             perturb=True,
@@ -453,7 +486,15 @@ class Trainer:
             from ..core.math import safe_normalize
             light_d = safe_normalize(ro + choices.light_noise)
 
-            if latent_phase:
+            if fused:
+                is_latent = r_exp <= cfg.latent_iter_ratio
+                ambient = jnp.where(is_latent, 1.0, choices.ambient_ratio)
+                shading = jnp.where(is_latent, SHADING_NORMAL,
+                                    choices.shading)
+                bg_color = choices.bg_color
+                use_bg_net = jnp.logical_and(choices.use_bg_net,
+                                             jnp.logical_not(is_latent))
+            elif latent_phase:
                 ambient, shading = 1.0, SHADING_NORMAL
                 bg_color = choices.bg_color  # ignored when bg net selected
                 use_bg_net = jnp.asarray(False)
@@ -472,7 +513,9 @@ class Trainer:
 
             image = out["image"].reshape(B, H, W, 3)
             wsum = out["weights_sum"].reshape(B, H, W)
-            if latent_phase:
+            if fused or latent_phase:
+                # rgb + alpha: the warmup path consumes all 4 channels as
+                # the latent; the fused main branch slices rgb back out
                 pred_rgb = jnp.concatenate([image, wsum[..., None]], axis=-1)
             else:
                 pred_rgb = image
@@ -516,11 +559,20 @@ class Trainer:
 
             return pred_rgb, loss, batch, {"loss_reg": loss}, bg_color
 
-        def guidance_part(gparams, embs, key, pred_rgb, batch, bg):
+        def guidance_part(gparams, embs, key, pred_rgb, batch, bg,
+                          as_latent):
             k_guide = jax.random.split(key, 5)[3]
             return self._guidance_loss(gparams, k_guide, pred_rgb, batch,
-                                       as_latent=latent_phase,
+                                       as_latent=as_latent,
                                        embeddings=embs, bg=bg)
+
+        def phase_as_latent(state):
+            """Traced warmup predicate (fused) or the static phase bool."""
+            if not fused:
+                return latent_phase
+            r = schedules.iter_ratio(state.step, cfg.exp_start_iter or 0,
+                                     cfg.exp_end_iter or cfg.iters)
+            return r <= cfg.latent_iter_ratio
 
         gp_dev = self._guidance_params_on_device()
         emb_dev = self._embeddings_on_device()
@@ -530,7 +582,8 @@ class Trainer:
                         embs):
                 pred_rgb, reg_loss, batch, metrics, bg = render_part(
                     params, state, key)
-                sds = guidance_part(gparams, embs, key, pred_rgb, batch, bg)
+                sds = guidance_part(gparams, embs, key, pred_rgb, batch, bg,
+                                    phase_as_latent(state))
                 loss = sds + reg_loss
                 metrics = {**metrics, "loss_sds": sds, "loss": loss}
                 return loss, metrics
@@ -625,7 +678,8 @@ class Trainer:
             batch, r_exp = make_batch(k_batch, step)
             bg = schedules.sample_step_choices(cfg, k_choice, r_exp).bg_color
             sds, cot = jax.value_and_grad(
-                lambda img: guidance_part(gparams, embs, key, img, batch, bg)
+                lambda img: guidance_part(gparams, embs, key, img, batch,
+                                          bg, latent_phase)
             )(pred_rgb)
             return sds, cot
 
@@ -891,9 +945,15 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.seed or 0)
 
         if self._train_step_main is None:
-            self._train_step_main = self._make_train_step("main")
-            if cfg.latent_iter_ratio > 0:
-                self._train_step_latent = self._make_train_step("latent")
+            if self._fused_phase_ok():
+                # one executable for warmup + main (see _make_train_step);
+                # phase_at() then routes every step to it
+                self._train_step_main = self._make_train_step("fused")
+                self._train_step_latent = None
+            else:
+                self._train_step_main = self._make_train_step("main")
+                if cfg.latent_iter_ratio > 0:
+                    self._train_step_latent = self._make_train_step("latent")
             if self.needs_density_grid:
                 self._update_grid_fn = self._make_update_grid()
             if self.ref_images is not None:
@@ -1034,6 +1094,10 @@ class Trainer:
         # "steady" was really 13.3 blocks + 182 s of cold compile)
         compile_s = ts.get("first_iter_dispatch", 0.0) + \
             ts.get("first_iter_fence", 0.0)
+        # single source of truth for the startup attribution — consumers
+        # (scripts/run_flagship.py) read this key instead of re-deriving
+        # the sum (ADVICE r4)
+        ts["startup_s"] = compile_s
         ts["steps"] = max(ts["train_wall"] - overhead - compile_s, 0.0)
         ts["n_steps"] = n_steps
         if ts["steps"] > 0 and n_steps > 0:

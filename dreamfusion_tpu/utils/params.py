@@ -20,22 +20,37 @@ def fast_random_params(init_fn, *init_args, seed: int = 0,
     billion-parameter init graph through a remote-compile tunnel.
 
     On an accelerator backend the fill runs ON DEVICE as one jitted
-    program (a flat tree of fold_in + normal): host-side numpy fill would
-    have to upload the ~4 GB result through the tunnel at the measured
-    ~25 MB/s (≈160 s per tower).  On CPU the numpy path is faster and
-    keeps tests deterministic with historic values."""
+    program: host-side numpy fill would have to upload the ~4 GB result
+    through the tunnel at the measured ~25 MB/s (≈160 s per tower).
+    The program generates ONE flat normal slab and static-slices it into
+    the leaves — the earlier per-leaf fold_in+normal version compiled to
+    a 10-28 MB executable per tower, and first-execution of a program
+    through the tunnel costs ~0.5 s per serialized MB
+    (scripts/probe_fence_tax.py / probe_buffer_tax.py), so executable
+    size IS startup wall-clock.  Pass dtype=jnp.bfloat16 to emit the
+    frozen-tower dtype directly and skip the separate cast program.
+    On CPU the numpy path is faster and keeps tests deterministic with
+    historic values."""
     shapes = jax.eval_shape(init_fn, *init_args)
     if jax.default_backend() != "cpu":
         leaves, treedef = jax.tree_util.tree_flatten(shapes)
+        sizes = [int(np.prod(s.shape))
+                 if np.issubdtype(s.dtype, np.floating) else 0
+                 for s in leaves]
+        offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+        total = int(offs[-1])
+        gdtype = jnp.dtype(dtype)
 
         @jax.jit
         def gen(key):
+            slab = jax.random.normal(key, (total,), gdtype) * \
+                jnp.asarray(scale, gdtype)
             out = []
             for i, s in enumerate(leaves):
-                if np.issubdtype(s.dtype, np.floating):
-                    k = jax.random.fold_in(key, i)
-                    out.append(jax.random.normal(k, s.shape,
-                                                 jnp.dtype(dtype)) * scale)
+                if sizes[i]:
+                    piece = jax.lax.slice(slab, (int(offs[i]),),
+                                          (int(offs[i + 1]),))
+                    out.append(piece.reshape(s.shape))
                 else:
                     out.append(jnp.zeros(s.shape, s.dtype))
             return out
@@ -64,6 +79,13 @@ def cast_f32_fused(tree, dtype):
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
 
     leaves = jax.tree_util.tree_leaves(tree)
+    if not any(hasattr(l, "dtype") and l.dtype == jnp.float32
+               for l in leaves):
+        # nothing to cast (towers already generated in bf16): skip the
+        # jitted identity program — even a no-op with ~1100 arg/result
+        # buffers costs seconds of first-execution handle setup through
+        # the tunnel (scripts/probe_buffer_tax.py)
+        return tree
     # ANY device leaf selects the fused path: a mixed tree (first leaf
     # host numpy, later towers already on device) must not fall back to the
     # per-leaf eager storm this helper exists to avoid (ADVICE r3)

@@ -18,6 +18,37 @@ import re
 _COUNT_OPT = "--xla_force_host_platform_device_count"
 
 
+def maybe_reexec_quiet_cpp_logs(module: str | None = None) -> None:
+    """Re-exec the interpreter once with TF_CPP_MIN_LOG_LEVEL=3 in the
+    PROCESS environment (VERDICT r4 item 6).
+
+    Why a re-exec: this container's site startup preimports jax through
+    the axon PJRT plugin — jaxlib's C++ logging is initialized before ANY
+    user Python runs, so `os.environ` writes (what force_cpu used to do)
+    can never silence the spurious XLA:CPU AOT feature-mismatch ERROR
+    spam; only the env at exec time counts (verified:
+    `TF_CPP_MIN_LOG_LEVEL=3 python x.py` = 0 errors, setting it first
+    thing inside x.py = 6 errors).
+
+    ONLY call this from our own `__main__` entry points.  Library code —
+    especially __graft_entry__.dryrun_multichip, which the driver calls
+    IN-PROCESS — must never re-exec (it would replace the caller's
+    process).  `module` restores `python -m pkg.mod` semantics (argv[0]
+    alone would re-run the file without package context)."""
+    import sys
+    if os.environ.get("TF_CPP_MIN_LOG_LEVEL") == "3" or \
+            os.environ.get("DFTPU_NO_REEXEC"):
+        return
+    os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
+    os.environ["DFTPU_NO_REEXEC"] = "1"   # belt + braces against loops
+    argv = [sys.executable]
+    if module is not None:
+        argv += ["-m", module] + sys.argv[1:]
+    else:
+        argv += sys.argv
+    os.execv(sys.executable, argv)
+
+
 def force_cpu(n_devices: int | None = None) -> None:
     """Force JAX onto the local CPU backend, optionally with ``n_devices``
     virtual devices (the JAX-native way to test Mesh/pjit logic without a

@@ -116,25 +116,36 @@ def main():
     # the same step executes at ~75 ms steady two epochs later.  Report
     # train wall both raw and ex-startup so the steady-state claim is
     # auditable against the north star.
-    startup = (stats.get("first_iter_dispatch", 0.0) +
-               stats.get("first_iter_fence", 0.0))
+    # trainer-written attribution (single source of truth; ADVICE r4).
+    # When run_stats.json is missing there is NO timing data: every
+    # derived wall/startup field and both north-star booleans must be
+    # null, not vacuously-true zeros (ADVICE r4).
+    startup = stats.get("startup_s",
+                        stats.get("first_iter_dispatch", 0.0) +
+                        stats.get("first_iter_fence", 0.0))
     train_ex_startup = max(train_wall - startup, 0.0)
+    have_stats = bool(stats)
     out = {
         "iters": args.iters,
         "returncode": proc.returncode,
         "total_wall_s": round(total, 1),
-        "train_wall_s": round(train_wall, 1),
-        "train_wall_min": round(train_wall / 60.0, 2),
-        "post_train_s": round(total - train_wall, 1),  # test video + mesh
+        "train_wall_s": round(train_wall, 1) if have_stats else None,
+        "train_wall_min": round(train_wall / 60.0, 2) if have_stats
+        else None,
+        "post_train_s": round(total - train_wall, 1) if have_stats
+        else None,
         "phases": {k: round(v, 1) for k, v in stats.items()
                    if isinstance(v, (int, float))},
-        "startup_s": round(startup, 1),
-        "train_wall_ex_startup_min": round(train_ex_startup / 60.0, 2),
+        "startup_s": round(startup, 1) if have_stats else None,
+        "train_wall_ex_startup_min": round(train_ex_startup / 60.0, 2)
+        if have_stats else None,
         "north_star_min": 15.0,
         "beats_north_star": bool(train_wall <= 15 * 60 and
-                                 proc.returncode == 0),
+                                 proc.returncode == 0) if have_stats
+        else None,
         "beats_north_star_ex_startup": bool(
-            train_ex_startup <= 15 * 60 and proc.returncode == 0),
+            train_ex_startup <= 15 * 60 and proc.returncode == 0)
+        if have_stats else None,
         "has_video_container": has_mp4,
         "has_mesh_obj": has_mesh,
         "eval_interval_epochs": args.eval_interval,

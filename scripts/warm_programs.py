@@ -38,9 +38,8 @@ t0 = time.time()
 key = jax.random.PRNGKey(0)
 g = StableDiffusionGuidance(SDConfig(sd_version=cfg.sd_version,
                                      t_range=cfg.t_range))
-gp = g.init_params(key)
-from dreamfusion_tpu.utils.params import cast_f32_fused
-gp = cast_f32_fused(gp, jnp.bfloat16)
+# bf16 slab init, exactly as main.build_guidance does under fp16
+gp = g.init_params(key, dtype=jnp.bfloat16)
 emb = prepare_text_embeddings(g, gp, cfg.text, cfg.negative)
 emb = {k: v.astype(jnp.float32) for k, v in emb.items()}
 print(f"[warm] guidance ready {time.time()-t0:.0f}s", flush=True)
@@ -49,11 +48,15 @@ tr = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gp},
              embeddings={"SD": emb})
 state = tr.init_state(key)
 
-for name, fn in [
-    ("update_grid", tr._make_update_grid()),
-    ("latent_step", tr._make_train_step("latent")),
-    ("main_step", tr._make_train_step("main")),
-]:
+# the CLI builds ONE fused warmup+main program when _fused_phase_ok
+# (trainer.train); mirror that exact program set
+programs = [("update_grid", tr._make_update_grid())]
+if tr._fused_phase_ok():
+    programs.append(("fused_step", tr._make_train_step("fused")))
+else:
+    programs.append(("latent_step", tr._make_train_step("latent")))
+    programs.append(("main_step", tr._make_train_step("main")))
+for name, fn in programs:
     t = time.time()
     out = fn(state, key)
     state = out[0] if isinstance(out, tuple) else out

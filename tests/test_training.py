@@ -388,3 +388,38 @@ def test_scan_block_training_path(tmp_path, tiny_guidance):
     # the block fast-path was actually built for this config
     assert getattr(tr._train_step_main, "block", None) is not None
     assert tr._train_step_main.block_size == 4
+
+
+def test_fused_phase_program_matches_split_phases(tmp_path, tiny_guidance):
+    """phase='fused' (one executable, traced warmup predicate) must equal
+    the separate latent/main programs step-for-step on both sides of the
+    warmup boundary.  lambda_orient=0 so the phases share render flags
+    (with orient on, fused applies it during warmup too — the
+    reference-faithful behavior, nerf/utils.py:687-713)."""
+    g, gparams, emb = tiny_guidance
+    cfg = tiny_config(tmp_path, backbone="vanilla",
+                      workspace=str(tmp_path / "wsfp"), lambda_orient=0.0)
+    tr = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gparams},
+                 embeddings={"SD": emb})
+    assert tr._fused_phase_ok()
+    state = tr.init_state(jax.random.PRNGKey(0))
+    fused = tr._make_train_step("fused")
+    lat = tr._make_train_step("latent")
+    main = tr._make_train_step("main")
+    key = jax.random.PRNGKey(42)
+
+    def check(state, ref_step):
+        nf, mf = fused(state, key)
+        nr, mr = ref_step(state, key)
+        np.testing.assert_allclose(float(mf["loss"]), float(mr["loss"]),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(nf.params),
+                        jax.tree_util.tree_leaves(nr.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-6)
+
+    # step 0: r=0 <= latent_iter_ratio → warmup branch
+    check(state, lat)
+    # past the boundary (iters=6, ratio 0.34 → step 5: r≈0.83) → main
+    late = state.replace(step=jnp.asarray(5, jnp.int32))
+    check(late, main)

@@ -88,8 +88,21 @@ class DMTetTrainer(Trainer):
         """Bootstrap from a stage-1 checkpoint (main.py:317-329) or, with no
         checkpoint, from a unit sphere SDF (for tests / cold starts)."""
         cfg = self.cfg
-        nerf_params = self._load_nerf_params(nerf_ckpt or cfg.init_with, key)
-        if nerf_ckpt or cfg.init_with:
+        init_with = nerf_ckpt or cfg.init_with
+        is_mesh = bool(init_with) and init_with.lower().endswith(
+            (".obj", ".ply"))
+        nerf_params = self._load_nerf_params(
+            "" if is_mesh else init_with, key)
+        if is_mesh:
+            # --init_with mesh.obj (reference main.py:320-329 → init_tet
+            # from a trimesh + cubvh SDF, renderer.py:817-836); the
+            # texture field starts from scratch, geometry from the mesh
+            from ..mesh.sdf import load_mesh
+            mv, mt = load_mesh(init_with)
+            self.log(f"[dmtet] mesh init from {init_with}: "
+                     f"{len(mv)} verts, {len(mt)} tris")
+            geo = self.dmtet_renderer.init_params_from_mesh(mv, mt)
+        elif init_with:
             geo = self.dmtet_renderer.init_params_from_density(
                 jax.jit(self._nerf_density_fn(nerf_params, "sigma")),
                 cfg.density_thresh)

@@ -213,3 +213,94 @@ def test_normal_consistency_no_key_overflow():
     # what matters: a pair WAS found (loss != 0 fallback of "no pairs")
     # and no spurious pairs from overflowed keys
     assert 0.0 <= loss <= 2.0
+
+
+# ---------------------------------------------------------------------------
+# mesh-file init (--dmtet --init_with mesh.obj; reference renderer.py:817-836)
+# ---------------------------------------------------------------------------
+
+def _uv_sphere_obj(path, radius=1.0, n_theta=12, n_phi=18):
+    """Write a watertight UV-sphere OBJ."""
+    lines = []
+    verts = [(0.0, 0.0, radius)]
+    for i in range(1, n_theta):
+        th = np.pi * i / n_theta
+        for j in range(n_phi):
+            ph = 2 * np.pi * j / n_phi
+            verts.append((radius * np.sin(th) * np.cos(ph),
+                          radius * np.sin(th) * np.sin(ph),
+                          radius * np.cos(th)))
+    verts.append((0.0, 0.0, -radius))
+    for x, y, z in verts:
+        lines.append(f"v {x} {y} {z}")
+
+    def ring(i, j):  # 1-based OBJ index of ring i (1..n_theta-1), col j
+        return 2 + (i - 1) * n_phi + (j % n_phi)
+
+    for j in range(n_phi):  # top cap
+        lines.append(f"f 1 {ring(1, j)} {ring(1, j + 1)}")
+    for i in range(1, n_theta - 1):
+        for j in range(n_phi):
+            a, b = ring(i, j), ring(i, j + 1)
+            c, d = ring(i + 1, j), ring(i + 1, j + 1)
+            lines.append(f"f {a} {c} {d}")
+            lines.append(f"f {a} {d} {b}")
+    bot = len(verts)
+    for j in range(n_phi):  # bottom cap
+        lines.append(f"f {bot} {ring(n_theta - 1, j + 1)} "
+                     f"{ring(n_theta - 1, j)}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+def test_signed_distance_sphere(tmp_path):
+    """mesh/sdf.py signed_distance vs the analytic sphere SDF (positive
+    outside), through the OBJ loader."""
+    from dreamfusion_tpu.mesh.sdf import load_obj, signed_distance
+    obj = tmp_path / "sphere.obj"
+    _uv_sphere_obj(obj, radius=0.5, n_theta=16, n_phi=24)
+    v, t = load_obj(str(obj))
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-0.9, 0.9, (256, 3)).astype(np.float32)
+    sd = np.asarray(signed_distance(jnp.asarray(pts), jnp.asarray(v),
+                                    jnp.asarray(t), chunk=64))
+    ref = np.linalg.norm(pts, axis=-1) - 0.5
+    # faceted sphere ⇒ small bias vs the smooth SDF; signs must agree
+    # away from the surface and distances within the facet sag
+    away = np.abs(ref) > 0.05
+    assert np.all(np.sign(sd[away]) == np.sign(ref[away]))
+    np.testing.assert_allclose(sd, ref, atol=0.03)
+
+
+def test_dmtet_init_from_mesh_obj(tmp_path, tiny_guidance):
+    """VERDICT r4 item 5: sphere OBJ in → DMTet starts as a sphere (sdf
+    sign field matches the analytic ball; extracted surface at the right
+    radius) with NO NeRF checkpoint."""
+    g, gparams, emb = tiny_guidance
+    obj = tmp_path / "init_sphere.obj"
+    _uv_sphere_obj(obj, radius=1.0, n_theta=14, n_phi=20)
+    cfg = dmtet_config(tmp_path, init_with=str(obj),
+                       workspace=str(tmp_path / "ws_meshinit"))
+    tr = DMTetTrainer(cfg, guidances={"SD": g},
+                      guidance_params={"SD": gparams},
+                      embeddings={"SD": emb})
+    state = tr.init_state(jax.random.PRNGKey(0))
+    geo = state.params["geo"]
+    # normalized mesh: extent 0.8 → radius 0.4; tet_scale 0.5
+    np.testing.assert_allclose(np.asarray(state.tet_scale),
+                               0.5 * np.ones(3), atol=0.02)
+    tet_v = np.asarray(tr.dmtet_renderer.grid.vertices) * \
+        np.asarray(state.tet_scale)
+    r = np.linalg.norm(tet_v, axis=-1)
+    sdf = np.asarray(geo["sdf"])
+    inside, outside = r < 0.34, r > 0.46
+    assert np.mean(sdf[inside] > 0) > 0.98     # inner positive
+    assert np.mean(sdf[outside] < 0) > 0.98
+    # extracted marching-tets surface sits at the sphere radius
+    from dreamfusion_tpu.models.dmtet import DMTetParams
+    mesh = tr.dmtet_renderer.extract_mesh(DMTetParams(
+        sdf=geo["sdf"], deform=geo["deform"], tet_scale=state.tet_scale))
+    sv = np.asarray(mesh.verts)[np.asarray(mesh.vert_valid)]
+    assert len(sv) > 50
+    rad = np.linalg.norm(sv, axis=-1)
+    assert abs(float(np.median(rad)) - 0.4) < 0.05

@@ -30,30 +30,6 @@ import jax.numpy as jnp
 # field queries (chunked + jitted)
 # ---------------------------------------------------------------------------
 
-def _field_fn(trainer, state, name: str, quantize: bool = False):
-    """quantize=True returns uint8 (albedo) / float16 (sigma) — the
-    device→host tunnel moves ~4 MB/s, so halving/quartering the bytes is
-    a direct wall-clock win on big grid downloads."""
-    renderer = trainer.renderer
-    params = state.ema_params if getattr(state, "ema_params", None) is not None \
-        else state.params
-    if isinstance(params, dict) and "nerf" in params:   # DMTet stage pytree
-        params = params["nerf"]
-
-    @jax.jit
-    def fn(x):
-        out = renderer.apply({"params": params}, x, method=renderer.density)
-        o = out[name]
-        if quantize:
-            if name == "albedo":
-                return jnp.round(jnp.clip(o, 0.0, 1.0) * 255.0
-                                 ).astype(jnp.uint8)
-            return o.astype(jnp.float16)
-        return o
-
-    return fn
-
-
 def _pow2_bucket(n: int, lo: int = 1024) -> int:
     """Smallest power-of-two ≥ n (≥ lo): padding verts/faces to buckets
     keeps the bake program's shapes — and so its compile-cache key —
@@ -69,26 +45,45 @@ def query_grid(trainer, state, resolution: int = 256,
     # chunk: 64³ like the reference (renderer.py:1113) — encoder gathers
     # pad the minor dim to 128 lanes, so big chunks explode HBM temps
     """Query sigma on a resolution³ grid over [-bound, bound]³
-    (reference renderer.py:393-407).  All chunks are dispatched before any
-    fetch (device queue) so compute overlaps the f16-quantized D2H
-    downloads through the ~4 MB/s tunnel."""
+    (reference renderer.py:393-407).
+
+    ONE jitted program: grid coordinates are generated ON DEVICE from the
+    flat cell index (no 200 MB host meshgrid upload), a lax.map sweeps
+    64³-point chunks through the field, and the whole f16 volume comes
+    back in a single D2H (33 MB at 256³).  The old dispatch-per-chunk +
+    fetch-per-chunk version cost 65.6 s at 256³+128³ in RUN_r04 — the
+    tunnel charges per round-trip, not per byte."""
+    import math
+
+    renderer = trainer.renderer
+    params = state.ema_params if getattr(state, "ema_params", None) \
+        is not None else state.params
+    if isinstance(params, dict) and "nerf" in params:
+        params = params["nerf"]
     bound = trainer.cfg.bound
-    fn = _field_fn(trainer, state, "sigma", quantize=True)
-    xs = np.linspace(-bound, bound, resolution, dtype=np.float32)
-    pts = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1).reshape(-1, 3)
-    n = pts.shape[0]
-    pending = []
-    for i in range(0, n, chunk):
-        end = min(i + chunk, n)
-        buf = pts[i:end]
-        if buf.shape[0] < chunk:
-            buf = np.concatenate(
-                [buf, np.zeros((chunk - buf.shape[0], 3), np.float32)])
-        pending.append((i, end, fn(jnp.asarray(buf))))
-    out = np.empty((n,), np.float32)
-    for i, end, dev in pending:
-        out[i:end] = np.asarray(dev)[:end - i].astype(np.float32)
-    return out.reshape(resolution, resolution, resolution)
+    R = resolution
+    n = R ** 3
+    n_chunks = int(math.ceil(n / chunk))
+
+    @jax.jit
+    def query_all(p):
+        xs = jnp.linspace(-bound, bound, R, dtype=jnp.float32)
+
+        def one(c0):
+            idx = c0 * chunk + jnp.arange(chunk)
+            idx = jnp.minimum(idx, n - 1)          # tail padding
+            k = idx % R
+            j = (idx // R) % R
+            i = idx // (R * R)
+            pts = jnp.stack([xs[i], xs[j], xs[k]], axis=-1)
+            out = renderer.apply({"params": p}, pts,
+                                 method=renderer.density)
+            return out["sigma"].astype(jnp.float16)
+
+        return jax.lax.map(one, jnp.arange(n_chunks))
+
+    out = np.asarray(query_all(params)).astype(np.float32).reshape(-1)[:n]
+    return out.reshape(R, R, R)
 
 
 def sigmas_to_mesh(sigmas: np.ndarray, density_thresh: float, bound: float,
@@ -198,7 +193,11 @@ def bake_texture(trainer, state, verts: np.ndarray, tris: np.ndarray,
     triangle counts."""
     from ..ops.raster import RasterOut, interpolate, rasterize
 
-    fn = _field_fn(trainer, state, "albedo", quantize=True)
+    renderer = trainer.renderer
+    params = state.ema_params if getattr(state, "ema_params", None) \
+        is not None else state.params
+    if isinstance(params, dict) and "nerf" in params:
+        params = params["nerf"]
     # UV [0,1] → clip space for the rasterizer (NDC x right, y up)
     u, v = uv[:, 0], uv[:, 1]
     clip = np.stack([u * 2 - 1, -(v * 2 - 1), np.zeros_like(u),
@@ -216,35 +215,36 @@ def bake_texture(trainer, state, verts: np.ndarray, tris: np.ndarray,
     mask_p[:T] = True
 
     @jax.jit
-    def bake_sweep(clip_v, faces, fmask, vpos):
+    def bake_sweep(p, clip_v, faces, fmask, vpos):
+        """raster → interpolate → albedo query, all on device; downloads
+        are ONE bool mask + ONE uint8 texture (~4 MB total).  The old
+        two-stage version downloaded f16 xyz and re-uploaded covered
+        points chunk-by-chunk — per-round-trip tunnel latency dominated
+        the 74.6 s bake of RUN_r04."""
         out = rasterize(clip_v, faces, fmask, tex_res, tex_res,
                         tile=32, tile_cap=min(1024, TB),
                         soft_edge_px=0.0)
-        xyz = interpolate(vpos, out, faces)
-        # quantized downloads: covered mask (bool) + f16 positions
-        return out.tri_id >= 0, xyz.astype(jnp.float16)
+        xyz = interpolate(vpos, out, faces).reshape(-1, 3)
 
-    mask_dev, xyz_dev = bake_sweep(jnp.asarray(clip_p), jnp.asarray(tris_p),
-                                   jnp.asarray(mask_p), jnp.asarray(verts_p))
+        def one(c):
+            o = renderer.apply({"params": p}, c, method=renderer.density)
+            return jnp.round(jnp.clip(o["albedo"], 0.0, 1.0) * 255.0
+                             ).astype(jnp.uint8)
+
+        n = xyz.shape[0]
+        ce = min(chunk, n)
+        pad = (-n) % ce
+        if pad:
+            xyz = jnp.concatenate([xyz, jnp.zeros((pad, 3), xyz.dtype)])
+        cols = jax.lax.map(one, xyz.reshape(-1, ce, 3)).reshape(-1, 3)[:n]
+        return out.tri_id >= 0, cols.reshape(tex_res, tex_res, 3)
+
+    mask_dev, tex_dev = bake_sweep(params, jnp.asarray(clip_p),
+                                   jnp.asarray(tris_p), jnp.asarray(mask_p),
+                                   jnp.asarray(verts_p))
     mask = np.asarray(mask_dev)
-    xyz = np.asarray(xyz_dev).astype(np.float32).reshape(-1, 3)
-
-    albedo = np.zeros_like(xyz)
-    flat_mask = mask.reshape(-1)
-    pts = xyz[flat_mask]
-    cols_dev = []
-    for i in range(0, pts.shape[0], chunk):
-        end = min(i + chunk, pts.shape[0])
-        buf = pts[i:end]
-        pad_n = chunk - buf.shape[0]
-        if pad_n > 0:
-            buf = np.concatenate([buf, np.zeros((pad_n, 3), np.float32)])
-        cols_dev.append((i, end, fn(jnp.asarray(buf))))
-    cols = np.empty((pts.shape[0], 3), np.float32)
-    for i, end, dev in cols_dev:
-        cols[i:end] = np.asarray(dev)[:end - i].astype(np.float32) / 255.0
-    albedo[flat_mask] = cols
-    tex = albedo.reshape(tex_res, tex_res, 3)
+    tex = np.asarray(tex_dev).astype(np.float32) / 255.0
+    tex = tex * mask[..., None]
 
     # inpaint gutters: nearest covered texel (exact EDT)
     if (~mask).any() and mask.any():

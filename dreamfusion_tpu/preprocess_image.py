@@ -186,10 +186,43 @@ def recenter(rgba: np.ndarray, size: int, border_ratio: float = 0.2
 
 # ---------------------------------------------------------------------------
 
+class BLIP2Captioner:
+    """Optional image→prompt captioner (reference preprocess_image.py:41-56
+    — present there but disabled by default).  `model` is a LOCAL
+    transformers BLIP-2 checkpoint directory (e.g. a pre-downloaded
+    Salesforce/blip2-opt-2.7b); in this zero-egress environment no hub
+    download is attempted, and a missing/bad checkpoint degrades to a
+    clear error at construction rather than mid-pipeline."""
+
+    def __init__(self, model: str):
+        import torch
+        from transformers import (AutoProcessor,
+                                  Blip2ForConditionalGeneration)
+        if not os.path.isdir(model):
+            raise FileNotFoundError(
+                f"BLIP-2 checkpoint dir not found: {model} (pass a local "
+                "pre-downloaded Salesforce/blip2-* directory)")
+        self._torch = torch
+        self.processor = AutoProcessor.from_pretrained(model)
+        self.model = Blip2ForConditionalGeneration.from_pretrained(
+            model).eval()
+
+    def __call__(self, image: np.ndarray) -> str:
+        from PIL import Image
+        torch = self._torch
+        with torch.no_grad():
+            inputs = self.processor(Image.fromarray(image),
+                                    return_tensors="pt")
+            ids = self.model.generate(**inputs, max_new_tokens=20)
+        return self.processor.batch_decode(
+            ids, skip_special_tokens=True)[0].strip()
+
+
 def preprocess(path: str, size: int = 256, border_ratio: float = 0.2,
                dpt_path: Optional[str] = None, do_recenter: bool = True,
                omnidata_depth: Optional[str] = None,
-               omnidata_normal: Optional[str] = None
+               omnidata_normal: Optional[str] = None,
+               caption_model: Optional[str] = None
                ) -> Tuple[str, Optional[str], Optional[str]]:
     from PIL import Image
 
@@ -222,6 +255,12 @@ def preprocess(path: str, size: int = 256, border_ratio: float = 0.2,
     if normal is not None:
         normal_path = f"{base}_normal.png"
         Image.fromarray((normal * 255).astype(np.uint8)).save(normal_path)
+    if caption_model:
+        caption = BLIP2Captioner(caption_model)(img)
+        cap_path = f"{base}_caption.txt"
+        with open(cap_path, "w") as f:
+            f.write(caption + "\n")
+        print(f"[caption] {caption!r} -> {cap_path}")
     return rgba_path, depth_path, normal_path
 
 
@@ -237,10 +276,15 @@ def main(argv=None):
     ap.add_argument("--omnidata_normal", type=str, default=None,
                     help="omnidata_dpt_normal_v2 .ckpt/.pt/.npz (optional)")
     ap.add_argument("--recenter", type=int, default=1)
+    ap.add_argument("--caption_model", type=str, default=None,
+                    help="local BLIP-2 checkpoint dir → writes "
+                         "*_caption.txt (reference's disabled BLIP2 hook, "
+                         "preprocess_image.py:41-56)")
     args = ap.parse_args(argv)
     outs = preprocess(args.path, args.size, args.border_ratio,
                       args.dpt_path, bool(args.recenter),
-                      args.omnidata_depth, args.omnidata_normal)
+                      args.omnidata_depth, args.omnidata_normal,
+                      caption_model=args.caption_model)
     print("wrote:", *[o for o in outs if o])
     return outs
 

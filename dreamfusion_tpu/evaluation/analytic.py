@@ -27,13 +27,27 @@ SCENES = ("sphere", "two_sphere")
 def scene_views(ro: jnp.ndarray, rd: jnp.ndarray, scene: str = "sphere",
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Closed-form render of `scene` along rays [N, 3] → (rgb [N, 3] in
-    [0,1] with WHITE background, hit mask [N] bool).
+    [0,1] with WHITE background, hit mask [N] bool).  See
+    scene_views_full for depth/normal as well.
 
     scene='sphere': centered sphere of radius 0.5, albedo =
     0.5+0.5*surface normal (smooth, realizable by a density field).
     scene='two_sphere': two mutually-occluding off-center spheres with a
     band-limited procedural texture — occlusion boundaries move across
     views and texture punishes a blurry field (the hard quality bar)."""
+    img, hit, _, _ = scene_views_full(ro, rd, scene)
+    return img, hit
+
+
+def scene_views_full(ro: jnp.ndarray, rd: jnp.ndarray,
+                     scene: str = "sphere"
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                jnp.ndarray]:
+    """scene_views plus the ray-march geometry: returns (rgb [N,3], hit
+    [N] bool, depth [N] — ray-t along the unit direction, 0 where no hit —
+    and unit surface normal [N,3], 0 where no hit).  Depth/normal feed the
+    image-conditioned oracle's analytic reference RGBD
+    (training/image_data.analytic_ref_images)."""
     if scene not in SCENES:
         raise ValueError(f"unknown analytic scene {scene!r}; one of {SCENES}")
     rdn = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
@@ -70,4 +84,5 @@ def scene_views(ro: jnp.ndarray, rd: jnp.ndarray, scene: str = "sphere",
                * jnp.sin(8.0 * p_hit[:, 2]))
         color = jnp.clip(0.35 + 0.3 * normal + 0.3 * tex[:, None], 0.0, 1.0)
     img = jnp.where(hit[:, None], color, 1.0)
-    return img, hit
+    depth = jnp.where(hit, best_t, 0.0)
+    return img, hit, depth, jnp.where(hit[:, None], normal, 0.0)

@@ -78,11 +78,24 @@ class IFGuidance:
     def _size(self):
         return 16 if self.cfg.tiny else self.cfg.image_size
 
-    def init_params(self, key: jax.Array) -> Dict[str, Any]:
+    def init_params(self, key: jax.Array, dtype=None) -> Dict[str, Any]:
         s = self._size
-        p = self.unet.init(key, jnp.zeros((1, s, s, 3)), jnp.zeros((1,)),
-                           jnp.zeros((1, self.cfg.max_len, self._ctx_dim))
-                           )["params"]
+        if self.cfg.tiny:
+            p = self.unet.init(
+                key, jnp.zeros((1, s, s, 3)), jnp.zeros((1,)),
+                jnp.zeros((1, self.cfg.max_len, self._ctx_dim)))["params"]
+            return {"unet": p}
+        # full size (IF-XL ≈ 4.2B params): slab init, never a giant flax
+        # init-program compile through the tunnel (utils/params docstring)
+        import numpy as np
+
+        from ..utils.params import fast_random_params
+        p = fast_random_params(
+            lambda: self.unet.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, s, s, 3)),
+                jnp.zeros((1,)),
+                jnp.zeros((1, self.cfg.max_len, self._ctx_dim)))["params"],
+            seed=0, dtype=np.float32 if dtype is None else dtype)
         return {"unet": p}
 
     def load_pretrained(self, root: str) -> Dict[str, Any]:

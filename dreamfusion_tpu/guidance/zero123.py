@@ -80,6 +80,31 @@ def spherical_angle_between(v1: jax.Array, v2: jax.Array) -> jax.Array:
     return jnp.arccos(cos)
 
 
+def pose_angle_grad_scale(ref_polars, ref_azimuths, ref_radii,
+                          polar, azimuth, radius, mode: str,
+                          grad_scale, B: int):
+    """Angle-based SDS grad scale + novel↔ref view angles
+    (zero123_utils.py:116-127): views far from every reference get a
+    stronger pull.  Shared by the real zero123 path and the
+    image-conditioned oracle prior (guidance/oracle.ImageOracleGuidance),
+    so the oracle convergence proof exercises the SAME pose-weighting
+    code.  Returns (grad_scale [B], angles_deg [B, K])."""
+    K = ref_polars.shape[0]
+    v1 = jnp.stack([radius + ref_radii[0],
+                    jnp.deg2rad(polar + ref_polars[0]),
+                    jnp.deg2rad(azimuth + ref_azimuths[0])], axis=-1)
+    v2 = jnp.stack([ref_radii, jnp.deg2rad(ref_polars),
+                    jnp.deg2rad(ref_azimuths)], axis=-1)
+    angles = jnp.rad2deg(spherical_angle_between(v1, v2))    # [B, K]
+    if mode == "angle":
+        out = (jnp.min(angles, axis=1) / (180.0 / K)) * grad_scale
+    else:
+        # reference 'None' mode literally resets to 1.0
+        # (zero123_utils.py:126-127)
+        out = jnp.ones((B,))
+    return out, angles
+
+
 class Zero123Guidance:
     def __init__(self, cfg: Zero123Config):
         self.cfg = cfg
@@ -91,19 +116,43 @@ class Zero123Guidance:
         self._ctx_dim = self.unet.cfg.context_dim
 
     # ------------------------------------------------------------------
-    def init_params(self, key: jax.Array) -> Dict[str, Any]:
+    def init_params(self, key: jax.Array, dtype=None) -> Dict[str, Any]:
         ku, kv, kc, kp = jax.random.split(key, 4)
         ls = self.cfg.latent_size if not self.cfg.tiny else 8
         ims = ls * self.vae.cfg.downscale
         ctx = self._ctx_dim
-        unet_p = self.unet.init(
-            ku, jnp.zeros((1, ls, ls, 8 if not self.cfg.tiny else
-                           self.unet.cfg.in_channels)),
-            jnp.zeros((1,)), jnp.zeros((1, 1, ctx)))["params"]
-        vae_p = self.vae.init(kv, jnp.zeros((1, ims, ims, 3)), kv)["params"]
+        in_ch = 8 if not self.cfg.tiny else self.unet.cfg.in_channels
         vis = self.cfg.vision_config()
-        vision_p = self.vision.init(
-            kc, jnp.zeros((1, vis.image_size, vis.image_size, 3)))["params"]
+        if self.cfg.tiny:
+            unet_p = self.unet.init(
+                ku, jnp.zeros((1, ls, ls, in_ch)),
+                jnp.zeros((1,)), jnp.zeros((1, 1, ctx)))["params"]
+            vae_p = self.vae.init(kv, jnp.zeros((1, ims, ims, 3)),
+                                  kv)["params"]
+            vision_p = self.vision.init(
+                kc, jnp.zeros((1, vis.image_size, vis.image_size,
+                               3)))["params"]
+        else:
+            # full size: slab init per tower — no billion-param flax
+            # init-program compile through the tunnel (utils/params)
+            import numpy as np
+
+            from ..utils.params import fast_random_params
+            dt = np.float32 if dtype is None else dtype
+            unet_p = fast_random_params(
+                lambda: self.unet.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, ls, ls, in_ch)),
+                    jnp.zeros((1,)), jnp.zeros((1, 1, ctx)))["params"],
+                seed=0, dtype=dt)
+            vae_p = fast_random_params(
+                lambda: self.vae.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, ims, ims, 3)),
+                    jax.random.PRNGKey(0))["params"], seed=1, dtype=dt)
+            vision_p = fast_random_params(
+                lambda: self.vision.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1, vis.image_size, vis.image_size,
+                               3)))["params"], seed=2, dtype=dt)
         # cc_projection: Linear(772 -> 768) initialized as [I_768 | 0]
         # (reference ddpm.py:526-529)
         eye = jnp.concatenate([jnp.eye(ctx), jnp.zeros((4, ctx))], axis=0)
@@ -203,17 +252,9 @@ class Zero123Guidance:
         ls = cfg.latent_size if not cfg.tiny else 8
         ims = ls * self.vae.cfg.downscale
 
-        # angle-based grad scale (zero123_utils.py:116-127)
-        v1 = jnp.stack([radius + ref_radii[0],
-                        jnp.deg2rad(polar + ref_polars[0]),
-                        jnp.deg2rad(azimuth + ref_azimuths[0])], axis=-1)
-        v2 = jnp.stack([ref_radii, jnp.deg2rad(ref_polars),
-                        jnp.deg2rad(ref_azimuths)], axis=-1)
-        angles = jnp.rad2deg(spherical_angle_between(v1, v2))    # [B, K]
-        if cfg.grad_scale_mode == "angle":
-            grad_scale = (jnp.min(angles, axis=1) / (180.0 / K)) * grad_scale
-        else:
-            grad_scale = jnp.ones((B,))
+        grad_scale, angles = pose_angle_grad_scale(
+            ref_polars, ref_azimuths, ref_radii, polar, azimuth, radius,
+            cfg.grad_scale_mode, grad_scale, B)
 
         if as_latent:
             latents = resize_bilinear(pred_rgb, (ls, ls)) * 2.0 - 1.0

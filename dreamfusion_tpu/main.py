@@ -177,6 +177,10 @@ def build_guidance(cfg: Config, tiny: bool = False, ref_images=None):
 
     guidances, gparams, embeddings = {}, {}, {}
     key = jax.random.PRNGKey(cfg.seed or 0)
+    # random towers generate directly in the frozen-guidance dtype (one
+    # slab program per tower, no separate cast program — first-execution
+    # cost is per-program, CLAUDE.md gotcha 9)
+    init_dtype = jnp.bfloat16 if (cfg.fp16 and not tiny) else None
 
     for name in cfg.guidance:
         if name == "SD":
@@ -185,10 +189,6 @@ def build_guidance(cfg: Config, tiny: bool = False, ref_images=None):
                            image_size=16 if tiny else 512,
                            latent_size=8 if tiny else 64)
             g = StableDiffusionGuidance(sdc)
-            # random towers generate directly in the frozen-guidance dtype
-            # (one slab program per tower; no separate cast program —
-            # first-execution cost is per-program, CLAUDE.md gotcha 9)
-            init_dtype = jnp.bfloat16 if (cfg.fp16 and not tiny) else None
             p = g.load_pretrained(cfg.pretrained_root) if (
                 cfg.pretrained_root and not tiny and
                 hasattr(g, "load_pretrained")) else g.init_params(
@@ -201,7 +201,8 @@ def build_guidance(cfg: Config, tiny: bool = False, ref_images=None):
             from .guidance.deepfloyd import IFConfig, IFGuidance
             g = IFGuidance(IFConfig(t_range=cfg.t_range, tiny=tiny))
             p = g.load_pretrained(cfg.pretrained_root) if (
-                cfg.pretrained_root and not tiny) else g.init_params(key)
+                cfg.pretrained_root and not tiny) else g.init_params(
+                    key, dtype=init_dtype)
             guidances[name] = g
             gparams[name] = p
             embeddings[name] = g.prepare_embeddings(p, cfg.text or "",
@@ -216,7 +217,8 @@ def build_guidance(cfg: Config, tiny: bool = False, ref_images=None):
             # previously always init_params'd, making converted weights
             # unreachable from the CLI
             p = g.load_pretrained(cfg.pretrained_root) if (
-                cfg.pretrained_root and not tiny) else g.init_params(key)
+                cfg.pretrained_root and not tiny) else g.init_params(
+                    key, dtype=init_dtype)
             guidances[name] = g
             gparams[name] = p
             assert ref_images is not None, "zero123 needs --image"

@@ -126,3 +126,42 @@ def masked_pearson(pred: "np.ndarray", gt: "np.ndarray", mask: "np.ndarray"):
     sp = jnp.sqrt(jnp.sum(vp * vp * m) / n + 1e-8)
     sg = jnp.sqrt(jnp.sum(vg * vg * m) / n + 1e-8)
     return cov / (sp * sg + 1e-8)
+
+
+def analytic_ref_images(cfg: Config, H: int, W: int,
+                        scene: str = "two_sphere") -> RefImages:
+    """Zero-egress reference RGBD: render the analytic scene from the
+    default view (`--image analytic:<scene>`).
+
+    Gives the image-conditioned pipeline — known-view rgb/mask/depth
+    steps (reference nerf/utils.py:446-590) + pose-delta SDS — a ground
+    truth to converge to, so its end-to-end quality is measurable in this
+    environment (VERDICT r4 item 4).  Depth is the analytic ray-t: the
+    known-view depth loss is Pearson CORRELATION (scale/shift-invariant,
+    utils.py:585), so ray-t matches what a converged field's expected
+    termination depth measures.  Normals are omitted (the reference's
+    normal loss is optional and off without `*_normal.png`)."""
+    import jax.numpy as jnp
+
+    from ..evaluation.analytic import scene_views_full
+    from .data import default_view_batch
+
+    polars = (cfg.default_polar,)
+    azimuths = (cfg.default_azimuth,)
+    radii = (cfg.default_radius,)
+    batch = default_view_batch(cfg, radii, polars, azimuths, H, W)
+    Hs = int(cfg.known_view_scale * H)
+    Ws = int(cfg.known_view_scale * W)
+    ro = batch.rays_o.reshape(-1, 3)
+    rd = batch.rays_d.reshape(-1, 3)
+    rgb, hit, depth, _ = scene_views_full(ro, rd, scene)
+    hitf = np.asarray(hit, np.float32)[:, None]
+    # premask like the rgba loader above (black outside the silhouette)
+    rgb = np.asarray(rgb) * hitf
+    return RefImages(
+        rgb=rgb.reshape(1, Hs, Ws, 3).astype(np.float32),
+        mask=np.asarray(hit).reshape(1, Hs, Ws),
+        depth=np.asarray(depth).reshape(1, Hs, Ws).astype(np.float32),
+        normal=None,
+        polars=polars, azimuths=azimuths, radii=radii, weights=(1.0,),
+    )

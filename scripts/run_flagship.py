@@ -26,8 +26,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10000)
-    ap.add_argument("--workspace", default="/root/runs/r4_flagship")
-    ap.add_argument("--out", default=os.path.join(ROOT, "RUN_r04.json"))
+    ap.add_argument("--workspace", default="/root/runs/r5_flagship")
+    ap.add_argument("--out", default=os.path.join(ROOT, "RUN_r05.json"))
     ap.add_argument("--eval_interval", type=int, default=25,
                     help="epochs between 800² evals (25 → 4 evals over a "
                          "10k run; a healthy-field 4-view 800² eval costs "
@@ -58,12 +58,20 @@ def main():
                          "the full UNet+VAE guidance cost); the oracle run "
                          "is the QUALITY artifact.")
     ap.add_argument("--oracle_scene", default="two_sphere")
+    ap.add_argument("--mode", default="sd",
+                    choices=["sd", "if", "perpneg", "image_oracle"],
+                    help="sd = SD 2.1 flagship; if = DeepFloyd-IF prior "
+                         "(--IF preset, pixel-space 4.2B UNet); perpneg = "
+                         "SD + Perp-Neg view conditioning; image_oracle = "
+                         "image-conditioned run against the analytic "
+                         "scene (known-view RGBD + pose-delta SDS) — the "
+                         "zero-egress image-pipeline quality artifact")
     args = ap.parse_args()
     if args.oracle:
-        if args.out == os.path.join(ROOT, "RUN_r04.json"):
-            args.out = os.path.join(ROOT, "RUN_r04_oracle.json")
-        if args.workspace == "/root/runs/r4_flagship":
-            args.workspace = "/root/runs/r4_oracle"
+        if args.out == os.path.join(ROOT, "RUN_r05.json"):
+            args.out = os.path.join(ROOT, "RUN_r05_oracle.json")
+        if args.workspace == "/root/runs/r5_flagship":
+            args.workspace = "/root/runs/r5_oracle"
 
     cmd = [
         sys.executable, "-m", "dreamfusion_tpu.main",
@@ -82,6 +90,14 @@ def main():
         # lr 1e-2: the oracle prior's converged recipe (swept in
         # tests/test_sds_convergence.py — 9.1→27.9 dB at 240 tiny steps)
         cmd += ["--guidance", "oracle", "--oracle_scene", args.oracle_scene,
+                "--guidance_scale", "1.0", "--lr", "0.01"]
+    elif args.mode == "if":
+        cmd += ["--text", args.text, "--IF", "--fp16", "true"]
+    elif args.mode == "perpneg":
+        cmd += ["--text", args.text, "--perpneg", "--fp16", "true"]
+    elif args.mode == "image_oracle":
+        cmd += ["--image", "analytic:two_sphere",
+                "--guidance", "image_oracle",
                 "--guidance_scale", "1.0", "--lr", "0.01"]
     else:
         cmd += ["--text", args.text]
@@ -151,7 +167,7 @@ def main():
         "eval_interval_epochs": args.eval_interval,
         "artifacts": artifacts,
         "text": None if args.oracle else args.text,
-        "guidance": "oracle" if args.oracle else "SD",
+        "guidance": "oracle" if args.oracle else args.mode.upper(),
     }
     if args.oracle:
         out["oracle_scene"] = args.oracle_scene

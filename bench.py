@@ -41,6 +41,7 @@ BASELINE_IT_S = 10000.0 / (15.0 * 60.0)  # 11.11 it/s
 
 
 def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
+              merge: bool = False,
               backbone: str = "grid", fine_steps: int = 0,
               coarse_steps: int = 0, triplane_scales: int = 0,
               grid_hash: str = "", split_step: bool = False,
@@ -88,10 +89,16 @@ def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
             extra["grid_features_per_level"] = grid_features
         if split_step:
             extra["split_step"] = True
+        if merge:
+            extra["merge_phases"] = True
+        # latent_iter_ratio stays at the flagship default so the benched
+        # executable IS the flagship's fused warmup+main program (same
+        # compile-cache entry; the timed steps run in the main branch —
+        # see the step-counter jump below)
         cfg = finalize(Config(
             text="a highly detailed hamburger", workspace="/tmp/dftpu_bench",
             backbone=backbone, w=render_hw, h=render_hw,
-            latent_iter_ratio=0.0, fp16=True, seed=0,
+            fp16=True, seed=0,
             lambda_3d_normal_smooth=0.0, **extra,
         ))
         sdc = SDConfig(sd_version="2.1")
@@ -114,7 +121,16 @@ def run_bench(smoke: bool = False, steps: int = 20, render_hw: int = 64,
                  embeddings={"SD": emb})
     note("init NeRF state...")
     state = tr.init_state(key)
-    step_fn = tr._make_train_step("main")
+    if tr._fused_phase_ok():
+        # the program the flagship actually dispatches; jump the step
+        # counter past the warmup boundary so the timed iterations take
+        # the MAIN branch (the 80% regime: VAE encode + full guidance)
+        step_fn = tr._make_train_step("fused")
+        state = state.replace(step=jnp.asarray(
+            int(cfg.iters * cfg.latent_iter_ratio) + 1, jnp.int32))
+        note("fused warmup+main program (timing the main branch)")
+    else:
+        step_fn = tr._make_train_step("main")
     update_grid = tr._make_update_grid()
 
     # warmup/compile
@@ -361,6 +377,12 @@ def main():
                     help="hashgrid features per level (default 2)")
     ap.add_argument("--backbone", type=str, default="triplane",
                 help="triplane (TPU-first flagship) | grid | vanilla")
+    ap.add_argument("--merge", action="store_true",
+                    help="bench the merge_phases fused warmup+main "
+                         "executable (A/B: its lax.cond measured ~20% "
+                         "slower steady than the separate main program, "
+                         "10.0 vs 12.56 it/s — why merge_phases defaults "
+                         "off)")
     ap.add_argument("--split", action="store_true",
                     help="bench the 3-program split step instead of fused")
     ap.add_argument("--stage", type=str, default="nerf",
@@ -393,6 +415,7 @@ def main():
             triplane_scales=args.scales,
             grid_hash=args.grid_hash,
             split_step=args.split,
+            merge=args.merge,
             grid_levels=args.grid_levels,
             grid_features=args.grid_features)
     # headline = MEDIAN of the timed repeats (VERDICT r2: best-of-3 hid a

@@ -255,15 +255,18 @@ class Config:
                                   # fused step: slower steady-state, but
                                   # render-knob changes skip the big
                                   # guidance cold compile
-    merge_phases: bool = True     # ONE executable for the normal-as-latent
+    merge_phases: bool = False    # ONE executable for the normal-as-latent
                                   # warmup AND the main phase (traced
                                   # lax.cond on the warmup predicate) when
-                                  # guidance is SD-only: each big program's
-                                  # FIRST execution through the tunnel
-                                  # costs ~0.5 s per serialized MB
-                                  # (scripts/probe_fence_tax.py), so one
-                                  # program instead of two is ~60 s of a
-                                  # 10k run's wall clock
+                                  # guidance is SD-only.  Measured NET
+                                  # LOSS at 10k steps: the cond around the
+                                  # latents path costs ~20% steady-state
+                                  # (10.0 vs 12.56 it/s A/B, bench.py
+                                  # --merge ≈ +200 s/10k) while saving
+                                  # only ~60-120 s of per-program
+                                  # first-execution tax — kept as a knob
+                                  # for short runs (< ~3k steps) where the
+                                  # trade flips
     scan_blocks: bool = False     # dispatch lax.scan blocks of
                                   # dataset_size_train steps instead of
                                   # per-step programs.  Measured DEAD END

@@ -302,6 +302,16 @@ def main(argv=None):
     dist.maybe_initialize_from_env()
     import jax
 
+    if jax.default_backend() != "cpu":
+        # fire-and-forget device ping: session ATTACH (the first program a
+        # fresh process fences costs 4-596 s of service-side setup,
+        # CLAUDE.md gotcha 9a) starts NOW and proceeds while the host
+        # builds guidance/trainer/programs — never fenced here, so it
+        # costs zero wall unless attach outlasts the whole host-side
+        # startup anyway
+        import jax.numpy as jnp
+        _ping = jnp.ones((8, 8)) @ jnp.ones((8, 8))  # noqa: F841
+
     from .training.trainer import Trainer
 
     if cfg.seed is not None:

@@ -398,7 +398,9 @@ def test_fused_phase_program_matches_split_phases(tmp_path, tiny_guidance):
     reference-faithful behavior, nerf/utils.py:687-713)."""
     g, gparams, emb = tiny_guidance
     cfg = tiny_config(tmp_path, backbone="vanilla",
-                      workspace=str(tmp_path / "wsfp"), lambda_orient=0.0)
+                      workspace=str(tmp_path / "wsfp"), lambda_orient=0.0,
+                      merge_phases=True)   # opt-in (default off: the cond
+                                           # measured ~20% slower steady)
     tr = Trainer(cfg, guidances={"SD": g}, guidance_params={"SD": gparams},
                  embeddings={"SD": emb})
     assert tr._fused_phase_ok()

@@ -166,6 +166,17 @@ def extract_mesh(trainer, state, resolution: int = 256,
         mean_live = float(sigmas[sigmas > 1e-3].mean()) \
             if (sigmas > 1e-3).any() else cfg.density_thresh
         density_thresh = min(2 * mean_live, cfg.density_thresh)
+        if not (sigmas > density_thresh).any() and float(sigmas.max()) > 0:
+            # fully-faint field (a diverged/random prior can push every
+            # cell transparent — RUN_r05's random-SD run): export the
+            # densest iso-surface instead of nothing, clearly logged
+            # half the max crosses even a plateau-shaped faint field (a
+            # 99.9th-percentile pick can land exactly ON the max and
+            # never cross)
+            density_thresh = float(sigmas.max()) * 0.5
+            trainer.log(f"[extract_mesh] field below threshold everywhere "
+                        f"(max {sigmas.max():.3g}); falling back to the "
+                        f"densest iso-surface at {density_thresh:.3g}")
     verts, tris = sigmas_to_mesh(sigmas, float(density_thresh), cfg.bound,
                                  decimate_target=decimate_target,
                                  clean=clean, log=trainer.log, mark=mark)

@@ -262,3 +262,28 @@ class TestExportPipeline:
         baked = tex[px[:, 1], px[:, 0]]   # texture rows = v, cols = u
         # loose tolerance: texel grid quantization
         assert np.abs(baked - albedo).mean() < 0.15
+
+
+def test_extract_mesh_faint_field_fallback(monkeypatch, tmp_path):
+    """A fully-faint field (every cell below density_thresh — RUN_r05's
+    random-SD run pushed everything transparent) must still export the
+    densest iso-surface instead of an empty mesh."""
+    import dreamfusion_tpu.mesh.export as E
+
+    class FakeTrainer:
+        class cfg:
+            bound = 1.0
+            density_thresh = 10.0
+        log = staticmethod(print)
+
+    s = np.zeros((32, 32, 32), np.float32)
+    xs = np.linspace(-1, 1, 32)
+    r = np.sqrt(((np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1))
+                 ** 2).sum(-1))
+    s[r < 0.5] = 0.05          # far below thresh 10, but a real ball
+    monkeypatch.setattr(E, "query_grid",
+                        lambda tr, st, resolution=256, chunk=0: s)
+    verts, tris = E.extract_mesh(FakeTrainer(), None, resolution=32)
+    assert len(tris) > 0
+    rad = np.linalg.norm(verts, axis=-1)
+    assert abs(float(np.median(rad)) - 0.5) < 0.1

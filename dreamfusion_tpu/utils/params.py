@@ -8,6 +8,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# slab-group transient cap for on-device init (see fast_random_params);
+# module-level so tests can shrink it to exercise the multi-group path
+_SLAB_GROUP_ELEMS = 128 * 1024 * 1024
+
 
 def fast_random_params(init_fn, *init_args, seed: int = 0,
                        scale: float = 0.02, dtype=np.float32):
@@ -37,22 +41,46 @@ def fast_random_params(init_fn, *init_args, seed: int = 0,
         sizes = [int(np.prod(s.shape))
                  if np.issubdtype(s.dtype, np.floating) else 0
                  for s in leaves]
-        offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
-        total = int(offs[-1])
         gdtype = jnp.dtype(dtype)
+        # group consecutive leaves into ≤GROUP_ELEMS slabs: ONE flat slab
+        # for the whole tower peaked at params + slab = 2× tower bytes,
+        # which RESOURCE_EXHAUSTED'd the 4.2B-param IF tower on a 16 GB
+        # chip (slab 8.4 GB + leaves 8.4 GB); per-group slabs cap the
+        # transient at ~256 MB while keeping one tiny program
+        groups, cur, cur_n = [], [], 0
+        for i, n in enumerate(sizes):
+            if cur and cur_n + n > _SLAB_GROUP_ELEMS:
+                groups.append(cur)
+                cur, cur_n = [], 0
+            cur.append(i)
+            cur_n += n
+        if cur:
+            groups.append(cur)
 
         @jax.jit
         def gen(key):
-            slab = jax.random.normal(key, (total,), gdtype) * \
-                jnp.asarray(scale, gdtype)
-            out = []
-            for i, s in enumerate(leaves):
-                if sizes[i]:
-                    piece = jax.lax.slice(slab, (int(offs[i]),),
-                                          (int(offs[i + 1]),))
-                    out.append(piece.reshape(s.shape))
-                else:
-                    out.append(jnp.zeros(s.shape, s.dtype))
+            out = [None] * len(leaves)
+            prev = None   # serializes groups: without a data dependency
+            # XLA may schedule every group's slab before any slicing,
+            # recreating the full-tower transient this chunking removes
+            for gi, idxs in enumerate(groups):
+                total_g = sum(sizes[i] for i in idxs)
+                if total_g:
+                    k = jax.random.fold_in(key, gi)
+                    if prev is not None:
+                        k = jax.lax.optimization_barrier((k, prev))[0]
+                    slab = jax.random.normal(k, (total_g,), gdtype) * \
+                        jnp.asarray(scale, gdtype)
+                off = 0
+                for i in idxs:
+                    s = leaves[i]
+                    if sizes[i]:
+                        out[i] = jax.lax.slice(
+                            slab, (off,), (off + sizes[i],)).reshape(s.shape)
+                        off += sizes[i]
+                        prev = out[i]
+                    else:
+                        out[i] = jnp.zeros(s.shape, s.dtype)
             return out
         return jax.tree_util.tree_unflatten(
             treedef, gen(jax.random.PRNGKey(seed)))

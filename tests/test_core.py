@@ -151,3 +151,39 @@ def test_sample_pdf_stratified_is_sorted(key):
     # samples live within the bin range
     assert (np.asarray(z) >= np.asarray(bins[:, :1]) - 1e-5).all()
     assert (np.asarray(z) <= np.asarray(bins[:, -1:]) + 1e-5).all()
+
+
+def test_fast_random_params_grouped_slabs(monkeypatch):
+    """Device-branch init with multiple slab groups (the transient cap
+    that keeps a 4.2B-param tower from doubling HBM — utils/params):
+    grouped generation must cover every leaf, honor dtype, and keep the
+    ~N(0, scale) statistics; the barrier chain is a scheduling hint only."""
+    import flax.linen as nn
+
+    import dreamfusion_tpu.utils.params as P
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for i in range(5):
+                x = nn.Dense(96)(x)
+            return x
+
+    m = M()
+    init = lambda: m.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 48)))["params"]
+    monkeypatch.setattr(P, "_SLAB_GROUP_ELEMS", 5000)  # force many groups
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    try:
+        p = P.fast_random_params(init, seed=11, dtype=jnp.bfloat16)
+    finally:
+        monkeypatch.undo()
+    leaves = jax.tree_util.tree_leaves(p)
+    assert all(l.dtype == jnp.bfloat16 for l in leaves)
+    shapes_ref = jax.tree_util.tree_leaves(jax.eval_shape(init))
+    assert [tuple(l.shape) for l in leaves] == \
+        [tuple(s.shape) for s in shapes_ref]
+    big = [l for l in leaves if l.size > 1000]
+    for l in big:
+        sd = float(jnp.std(l.astype(jnp.float32)))
+        assert 0.015 < sd < 0.025, sd

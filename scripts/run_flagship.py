@@ -169,6 +169,13 @@ def main():
         "text": None if args.oracle else args.text,
         "guidance": "oracle" if args.oracle else args.mode.upper(),
     }
+    if args.mode == "image_oracle":
+        # known-view masked PSNR of the best checkpoint (the
+        # image-conditioned eval metric, trainer.evaluate)
+        meta = os.path.join(args.workspace, "checkpoints", "df.meta.json")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                out["known_view_psnr_db"] = json.load(f).get("best_result")
     if args.oracle:
         out["oracle_scene"] = args.oracle_scene
         # final analytic-PSNR eval metric (trainer._oracle_eval_metric),

@@ -64,29 +64,52 @@ def load_mesh(path: str) -> Tuple[np.ndarray, np.ndarray]:
     raise ValueError(f"unsupported mesh format: {path} (obj/ply)")
 
 
+_PLY_SCALARS = {
+    "char": "<i1", "int8": "<i1", "uchar": "<u1", "uint8": "<u1",
+    "short": "<i2", "int16": "<i2", "ushort": "<u2", "uint16": "<u2",
+    "int": "<i4", "int32": "<i4", "uint": "<u4", "uint32": "<u4",
+    "float": "<f4", "float32": "<f4", "double": "<f8", "float64": "<f8",
+}
+
+
 def _load_ply(path: str) -> Tuple[np.ndarray, np.ndarray]:
     with open(path, "rb") as f:
         if f.readline().strip() != b"ply":
             raise ValueError(f"{path}: not a PLY file")
-        fmt, n_vert, n_face, props = None, 0, 0, []
+        fmt, n_vert, n_face = None, 0, 0
+        vprops = []                      # [(name, numpy dtype str)]
+        fcount_t, findex_t = "<u1", "<i4"
         cur = None
         while True:
-            line = f.readline().strip()
+            line = f.readline()
+            if not line:                 # truncated header — never spin
+                raise ValueError(f"{path}: EOF before end_header")
+            line = line.strip()
             if line.startswith(b"format"):
                 fmt = line.split()[1].decode()
             elif line.startswith(b"element vertex"):
                 n_vert = int(line.split()[-1]); cur = "v"
             elif line.startswith(b"element face"):
                 n_face = int(line.split()[-1]); cur = "f"
+            elif line.startswith(b"element"):
+                cur = "other"
+            elif line.startswith(b"property list") and cur == "f":
+                _, _, ct, it, _name = line.decode().split()
+                fcount_t = _PLY_SCALARS[ct]
+                findex_t = _PLY_SCALARS[it]
             elif line.startswith(b"property") and cur == "v":
-                props.append(line.split()[-1].decode())
+                _, typ, name = line.decode().split()
+                vprops.append((name, _PLY_SCALARS[typ]))
             elif line == b"end_header":
                 break
+        names = [n for n, _ in vprops]
+        if not all(a in names for a in "xyz"):
+            raise ValueError(f"{path}: vertex x/y/z properties missing")
         if fmt == "ascii":
             verts = np.empty((n_vert, 3), np.float32)
             for i in range(n_vert):
                 vals = f.readline().split()
-                verts[i] = [float(vals[props.index(a)]) for a in "xyz"]
+                verts[i] = [float(vals[names.index(a)]) for a in "xyz"]
             faces = []
             for _ in range(n_face):
                 vals = [int(x) for x in f.readline().split()]
@@ -95,17 +118,22 @@ def _load_ply(path: str) -> Tuple[np.ndarray, np.ndarray]:
                     faces.append([idx[0], idx[k], idx[k + 1]])
             return verts, np.asarray(faces, np.int32)
         if fmt == "binary_little_endian":
-            vert_rec = np.dtype([(p, "<f4") for p in props])
+            vert_rec = np.dtype(vprops)
             raw = np.frombuffer(f.read(vert_rec.itemsize * n_vert),
                                 dtype=vert_rec)
+            if len(raw) != n_vert:
+                raise ValueError(f"{path}: truncated vertex block")
             verts = np.stack([raw[a] for a in "xyz"], axis=1).astype(
                 np.float32)
+            cdt = np.dtype(fcount_t)
+            idt = np.dtype(findex_t)
             faces = []
             for _ in range(n_face):
-                n = np.frombuffer(f.read(1), np.uint8)[0]
-                idx = np.frombuffer(f.read(4 * n), "<i4")
+                n = int(np.frombuffer(f.read(cdt.itemsize), cdt)[0])
+                idx = np.frombuffer(f.read(idt.itemsize * n), idt)
                 for k in range(1, n - 1):
-                    faces.append([idx[0], idx[k], idx[k + 1]])
+                    faces.append([int(idx[0]), int(idx[k]),
+                                  int(idx[k + 1])])
             return verts, np.asarray(faces, np.int32)
         raise ValueError(f"{path}: unsupported PLY format {fmt}")
 

@@ -89,6 +89,9 @@ class DMTetRenderer:
         point×triangle sweep in mesh/sdf.py instead of a GPU BVH."""
         from ..mesh.sdf import normalize_mesh, signed_distance
         mv = normalize_mesh(np.asarray(mesh_verts, np.float32))
+        # scalar global abs-max + 0.1: the reference's ACTIVE line
+        # (renderer.py:829 — its per-axis variant at :828 is commented
+        # out), broadcast to the per-axis tet_scale our renderer carries
         tet_scale = np.full((3,), float(np.abs(mv).max()) + 1e-1,
                             np.float32)
         pts = jnp.asarray(self.grid.vertices) * jnp.asarray(tet_scale)

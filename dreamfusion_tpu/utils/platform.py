@@ -36,8 +36,11 @@ def maybe_reexec_quiet_cpp_logs(module: str | None = None) -> None:
     process).  `module` restores `python -m pkg.mod` semantics (argv[0]
     alone would re-run the file without package context)."""
     import sys
-    if os.environ.get("TF_CPP_MIN_LOG_LEVEL") == "3" or \
+    if "TF_CPP_MIN_LOG_LEVEL" in os.environ or \
             os.environ.get("DFTPU_NO_REEXEC"):
+        # any explicit setting wins — a user running with
+        # TF_CPP_MIN_LOG_LEVEL=0 to SEE the C++ logs must not be
+        # silently re-exec'd to level 3 (ADVICE r5 self-review)
         return
     os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
     os.environ["DFTPU_NO_REEXEC"] = "1"   # belt + braces against loops

@@ -67,11 +67,17 @@ def main():
                          "scene (known-view RGBD + pose-delta SDS) — the "
                          "zero-egress image-pipeline quality artifact")
     args = ap.parse_args()
-    if args.oracle:
+    # every non-sd mode gets its own default artifact + workspace — the
+    # shared defaults would silently overwrite the committed SD flagship
+    # artifact and could read a stale df.meta.json from a previous run
+    # (ADVICE r5 self-review)
+    suffix = "oracle" if args.oracle else (
+        args.mode if args.mode != "sd" else None)
+    if suffix:
         if args.out == os.path.join(ROOT, "RUN_r05.json"):
-            args.out = os.path.join(ROOT, "RUN_r05_oracle.json")
+            args.out = os.path.join(ROOT, f"RUN_r05_{suffix}.json")
         if args.workspace == "/root/runs/r5_flagship":
-            args.workspace = "/root/runs/r5_oracle"
+            args.workspace = f"/root/runs/r5_{suffix}"
 
     cmd = [
         sys.executable, "-m", "dreamfusion_tpu.main",

@@ -304,3 +304,39 @@ def test_dmtet_init_from_mesh_obj(tmp_path, tiny_guidance):
     assert len(sv) > 50
     rad = np.linalg.norm(sv, axis=-1)
     assert abs(float(np.median(rad)) - 0.4) < 0.05
+
+
+def test_ply_loader_typed_properties(tmp_path):
+    """Binary-LE PLY with uchar colors interleaved (typical scanner/
+    MeshLab output) must parse via the typed property table; a truncated
+    header must raise, not hang (ADVICE r5 self-review)."""
+    import struct
+
+    from dreamfusion_tpu.mesh.sdf import load_mesh
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]],
+                     np.float32)
+    tris = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]], np.int32)
+    p = tmp_path / "colored.ply"
+    with open(p, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(b"element vertex 4\n")
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(b"property uchar red\nproperty uchar green\n"
+                b"property uchar blue\n")
+        f.write(b"element face 4\n")
+        f.write(b"property list uchar int vertex_indices\n")
+        f.write(b"end_header\n")
+        for v in verts:
+            f.write(struct.pack("<fffBBB", *v, 255, 128, 0))
+        for t in tris:
+            f.write(struct.pack("<Biii", 3, *t))
+    v, t = load_mesh(str(p))
+    np.testing.assert_allclose(v, verts)
+    np.testing.assert_array_equal(t, tris)
+
+    bad = tmp_path / "truncated.ply"
+    bad.write_bytes(b"ply\nformat binary_little_endian 1.0\n"
+                    b"element vertex 4\n")
+    with pytest.raises(ValueError, match="EOF"):
+        load_mesh(str(bad))

@@ -32,6 +32,9 @@ from dreamfusion_tpu.utils import convert as C
 torch = pytest.importorskip("torch")
 
 REF = "/root/reference"
+if not os.path.isdir(os.path.join(REF, "ldm")):
+    pytest.skip(f"reference tree not present at {REF}",
+                allow_module_level=True)
 
 
 # ---------------------------------------------------------------------------

@@ -180,7 +180,8 @@ class DMTetTrainer(Trainer):
             pred_rgb = out["image"]                       # [B, H, W, 3]
 
             loss = self._guidance_loss(gparams, k_guide, pred_rgb, batch,
-                                       as_latent=False, embeddings=embs)
+                                       as_latent=False, embeddings=embs,
+                                       bg=choices.bg_color)
             metrics = {"loss_sds": loss}
             # mesh regularizers (utils.py:715-721)
             if cfg.lambda_mesh_normal > 0:

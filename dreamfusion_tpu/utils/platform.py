@@ -36,11 +36,14 @@ def maybe_reexec_quiet_cpp_logs(module: str | None = None) -> None:
     process).  `module` restores `python -m pkg.mod` semantics (argv[0]
     alone would re-run the file without package context)."""
     import sys
-    if "TF_CPP_MIN_LOG_LEVEL" in os.environ or \
-            os.environ.get("DFTPU_NO_REEXEC"):
-        # any explicit setting wins — a user running with
-        # TF_CPP_MIN_LOG_LEVEL=0 to SEE the C++ logs must not be
-        # silently re-exec'd to level 3 (ADVICE r5 self-review)
+    cur = os.environ.get("TF_CPP_MIN_LOG_LEVEL")
+    if cur not in (None, "1") or os.environ.get("DFTPU_NO_REEXEC"):
+        # Respect an explicit user level (e.g. 0 to SEE the C++ logs) —
+        # but the axon site preimport itself injects
+        # TF_CPP_MIN_LOG_LEVEL=1 into os.environ at interpreter startup
+        # (verified: a shell with it unset reads "1" inside python), so
+        # "1" is indistinguishable from the platform default and is
+        # overridden; any other value is treated as user intent.
         return
     os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
     os.environ["DFTPU_NO_REEXEC"] = "1"   # belt + braces against loops

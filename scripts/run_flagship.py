@@ -58,8 +58,12 @@ def main():
                          "the full UNet+VAE guidance cost); the oracle run "
                          "is the QUALITY artifact.")
     ap.add_argument("--oracle_scene", default="two_sphere")
+    ap.add_argument("--init_with", default="",
+                    help="stage-1 checkpoint dir (or mesh file) for "
+                         "--mode dmtet_oracle")
     ap.add_argument("--mode", default="sd",
-                    choices=["sd", "if", "perpneg", "image_oracle"],
+                    choices=["sd", "if", "perpneg", "image_oracle",
+                             "dmtet_oracle"],
                     help="sd = SD 2.1 flagship; if = DeepFloyd-IF prior "
                          "(--IF preset, pixel-space 4.2B UNet); perpneg = "
                          "SD + Perp-Neg view conditioning; image_oracle = "
@@ -105,6 +109,14 @@ def main():
         cmd += ["--image", "analytic:two_sphere",
                 "--guidance", "image_oracle",
                 "--guidance_scale", "1.0", "--lr", "0.01"]
+    elif args.mode == "dmtet_oracle":
+        # stage-2 refinement of a CONVERGED stage-1 field against the
+        # same analytic scene — the reference's two-stage pipeline
+        # (main.py:317-329) end to end with a converging prior
+        assert args.init_with, "--mode dmtet_oracle needs --init_with"
+        cmd += ["--dmtet", "--init_with", args.init_with,
+                "--guidance", "oracle", "--oracle_scene", "two_sphere",
+                "--guidance_scale", "1.0", "--lr", "0.002"]
     else:
         cmd += ["--text", args.text]
     print("[run_flagship]", " ".join(cmd), flush=True)

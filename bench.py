@@ -441,6 +441,17 @@ def main():
             out["tflops_per_s"] = round(tflops, 2)
             out["flops_per_step"] = flops
             out["mfu"] = round(tflops / 197.0, 4)
+            if out["mfu"] < 0.30:
+                # the two biggest under-utilized components, from the
+                # scan-chained step budget (CLAUDE.md gotchas 11/13)
+                out["mfu_under_utilized"] = [
+                    "render march+field: ~35 ms/step of gather/scatter-"
+                    "bound triplane lookups at ~zero MXU FLOPs "
+                    "(scripts/profile_step_scan.py)",
+                    "VAE-encoder backward: ~12 ms/step of whole-graph "
+                    "scheduling overhead beyond the per-op sum "
+                    "(scripts/profile_vae_matrix.py)",
+                ]
     print(json.dumps(out))
 
 

@@ -75,7 +75,7 @@ class StableDiffusionGuidance:
         self.schedule: NoiseSchedule = make_schedule(
             "scaled_linear", cfg.num_train_timesteps)
 
-    # ---- init (random weights; real weights via guidance/weights.py) ----
+    # ---- init (random weights; real weights via load_pretrained) ----
     def init_params(self, key: jax.Array, dtype=None) -> Dict[str, Any]:
         """dtype: generation dtype for the full-size towers (pass
         jnp.bfloat16 to emit the frozen-tower dtype directly — one slab

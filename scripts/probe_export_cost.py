@@ -38,9 +38,35 @@ def main():
 
     t0 = time.time()
     ws = args.ckpt if args.ckpt else args.workspace
-    cfg = finalize(Config(text="x", workspace=ws,
-                          backbone="triplane", seed=0, eval_interval=-1,
-                          use_tensorboard=False))
+    overrides = {}
+    saved_cfg = os.path.join(ws, "config.json")
+    if args.ckpt and os.path.exists(saved_cfg):
+        # param-tree-shaping fields must match the checkpoint (e.g. an
+        # oracle run's bg_radius=-1 means NO background net in the tree)
+        import json as _json
+        with open(saved_cfg) as f:
+            saved = _json.load(f)
+        for k in ("backbone", "bg_radius", "hidden_dim", "num_layers",
+                  "hidden_dim_bg", "num_layers_bg", "triplane_resolution",
+                  "triplane_channels", "triplane_scales", "grid_levels",
+                  "grid_features_per_level", "grid_log2_hashmap_size",
+                  "grid_size", "bound", "density_activation"):
+            if k in saved:
+                overrides[k] = tuple(saved[k]) if isinstance(
+                    saved[k], list) else saved[k]
+    overrides.setdefault("backbone", "triplane")
+    # NEVER hand the run's workspace to the probe Trainer — its ctor
+    # persists ITS config.json and would clobber the run's record
+    # (happened once to r5_image_oracle); a temp workspace with a
+    # symlinked checkpoints dir gives load_checkpoint the real ckpts
+    import tempfile
+    ws_probe = tempfile.mkdtemp(prefix="dftpu_export_probe_")
+    if args.ckpt:
+        os.symlink(os.path.join(ws, "checkpoints"),
+                   os.path.join(ws_probe, "checkpoints"))
+    cfg = finalize(Config(text="x", workspace=ws_probe,
+                          seed=0, eval_interval=-1,
+                          use_tensorboard=False, **overrides))
     tr = Trainer(cfg, guidances={}, guidance_params={}, embeddings={})
     state = tr.init_state(jax.random.PRNGKey(0))
     if args.ckpt:

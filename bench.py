@@ -441,7 +441,8 @@ def main():
             out["tflops_per_s"] = round(tflops, 2)
             out["flops_per_step"] = flops
             out["mfu"] = round(tflops / 197.0, 4)
-            if out["mfu"] < 0.30:
+            if out["mfu"] < 0.30 and args.backbone == "triplane" and \
+                    not (args.split or args.merge):
                 # the two biggest under-utilized components, from the
                 # scan-chained step budget (CLAUDE.md gotchas 11/13)
                 out["mfu_under_utilized"] = [

@@ -403,3 +403,25 @@ def finalize(cfg: Config) -> Config:
     exp_start = cfg.exp_start_iter if cfg.exp_start_iter is not None else 0
     exp_end = cfg.exp_end_iter if cfg.exp_end_iter is not None else cfg.iters
     return replace(cfg, exp_start_iter=exp_start, exp_end_iter=exp_end)
+
+
+def load_config_json(path: str) -> Config:
+    """Rebuild a Config from a workspace `config.json` (persisted by
+    Trainer.__init__ — already finalized).  Unknown/legacy keys are
+    ignored; lists coerce back to tuples.  Single source of truth for
+    every consumer that needs a checkpoint-compatible config (viewer,
+    scripts/probe_export_cost) — a hand-maintained field subset silently
+    goes stale whenever a tree-shaping field is added (ADVICE r5)."""
+    import json as _json
+    with open(path) as f:
+        raw = _json.load(f)
+    defaults = Config()
+    kw = {}
+    for k, v in raw.items():
+        if not hasattr(defaults, k):
+            continue
+        dv = getattr(defaults, k)
+        if isinstance(dv, tuple) and isinstance(v, list):
+            v = tuple(v)
+        kw[k] = v
+    return Config(**kw)

@@ -45,6 +45,11 @@ def maybe_reexec_quiet_cpp_logs(module: str | None = None) -> None:
         # "1" is indistinguishable from the platform default and is
         # overridden; any other value is treated as user intent.
         return
+    if cur == "1":
+        print("[platform] TF_CPP_MIN_LOG_LEVEL=1 (the site shim's "
+              "injected default) -> re-exec with 3 to silence spurious "
+              "XLA:CPU AOT errors; export DFTPU_NO_REEXEC=1 or any other "
+              "level to keep it", file=sys.stderr)
     os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
     os.environ["DFTPU_NO_REEXEC"] = "1"   # belt + braces against loops
     argv = [sys.executable]

@@ -226,18 +226,8 @@ def main(argv=None):
 
     cfg_path = os.path.join(args.workspace, "config.json")
     if os.path.exists(cfg_path):
-        with open(cfg_path) as f:
-            raw = json.load(f)
-        defaults = Config()
-        kw = {}
-        for k, v in raw.items():
-            if not hasattr(defaults, k):
-                continue
-            dv = getattr(defaults, k)
-            if isinstance(dv, tuple) and isinstance(v, list):
-                v = tuple(v)
-            kw[k] = v
-        cfg = Config(**kw)
+        from .config import load_config_json
+        cfg = load_config_json(cfg_path)
     else:
         kw = dict(text=args.text or "a hamburger", workspace=args.workspace)
         if args.backbone:

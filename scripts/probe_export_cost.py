@@ -37,36 +37,33 @@ def main():
     from dreamfusion_tpu.training.trainer import Trainer
 
     t0 = time.time()
+    from dataclasses import replace
+
+    from dreamfusion_tpu.config import load_config_json
+
     ws = args.ckpt if args.ckpt else args.workspace
-    overrides = {}
-    saved_cfg = os.path.join(ws, "config.json")
-    if args.ckpt and os.path.exists(saved_cfg):
-        # param-tree-shaping fields must match the checkpoint (e.g. an
-        # oracle run's bg_radius=-1 means NO background net in the tree)
-        import json as _json
-        with open(saved_cfg) as f:
-            saved = _json.load(f)
-        for k in ("backbone", "bg_radius", "hidden_dim", "num_layers",
-                  "hidden_dim_bg", "num_layers_bg", "triplane_resolution",
-                  "triplane_channels", "triplane_scales", "grid_levels",
-                  "grid_features_per_level", "grid_log2_hashmap_size",
-                  "grid_size", "bound", "density_activation"):
-            if k in saved:
-                overrides[k] = tuple(saved[k]) if isinstance(
-                    saved[k], list) else saved[k]
-    overrides.setdefault("backbone", "triplane")
     # NEVER hand the run's workspace to the probe Trainer — its ctor
     # persists ITS config.json and would clobber the run's record
     # (happened once to r5_image_oracle); a temp workspace with a
-    # symlinked checkpoints dir gives load_checkpoint the real ckpts
+    # symlinked (absolute-target) checkpoints dir gives load_checkpoint
+    # the real ckpts
     import tempfile
     ws_probe = tempfile.mkdtemp(prefix="dftpu_export_probe_")
+    ckpt_dir = os.path.abspath(os.path.join(ws, "checkpoints"))
     if args.ckpt:
-        os.symlink(os.path.join(ws, "checkpoints"),
-                   os.path.join(ws_probe, "checkpoints"))
-    cfg = finalize(Config(text="x", workspace=ws_probe,
-                          seed=0, eval_interval=-1,
-                          use_tensorboard=False, **overrides))
+        assert os.path.isdir(ckpt_dir), f"no checkpoints under {ws}"
+        os.symlink(ckpt_dir, os.path.join(ws_probe, "checkpoints"))
+    saved_cfg = os.path.join(ws, "config.json")
+    if args.ckpt and os.path.exists(saved_cfg):
+        # the run's own (finalized) config: EVERY param-tree-shaping
+        # field matches the checkpoint by construction (a hand-picked
+        # field subset went stale immediately — ADVICE r5)
+        cfg = replace(load_config_json(saved_cfg), workspace=ws_probe,
+                      eval_interval=-1, use_tensorboard=False)
+    else:
+        cfg = finalize(Config(text="x", workspace=ws_probe,
+                              backbone="triplane", seed=0,
+                              eval_interval=-1, use_tensorboard=False))
     tr = Trainer(cfg, guidances={}, guidance_params={}, embeddings={})
     state = tr.init_state(jax.random.PRNGKey(0))
     if args.ckpt:

@@ -106,7 +106,7 @@ def main():
     elif args.mode == "perpneg":
         cmd += ["--text", args.text, "--perpneg", "--fp16", "true"]
     elif args.mode == "image_oracle":
-        cmd += ["--image", "analytic:two_sphere",
+        cmd += ["--image", f"analytic:{args.oracle_scene}",
                 "--guidance", "image_oracle",
                 "--guidance_scale", "1.0", "--lr", "0.01"]
     elif args.mode == "dmtet_oracle":
@@ -115,7 +115,7 @@ def main():
         # (main.py:317-329) end to end with a converging prior
         assert args.init_with, "--mode dmtet_oracle needs --init_with"
         cmd += ["--dmtet", "--init_with", args.init_with,
-                "--guidance", "oracle", "--oracle_scene", "two_sphere",
+                "--guidance", "oracle", "--oracle_scene", args.oracle_scene,
                 "--guidance_scale", "1.0", "--lr", "0.002"]
     else:
         cmd += ["--text", args.text]
@@ -184,7 +184,8 @@ def main():
         "has_mesh_obj": has_mesh,
         "eval_interval_epochs": args.eval_interval,
         "artifacts": artifacts,
-        "text": None if args.oracle else args.text,
+        "text": None if (args.oracle or "oracle" in args.mode)
+        else args.text,
         "guidance": "oracle" if args.oracle else args.mode.upper(),
     }
     if args.mode == "image_oracle":

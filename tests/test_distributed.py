@@ -104,13 +104,18 @@ def test_two_process_group(tmp_path):
                    DFTPU_NUM_PROCESSES="2",
                    DFTPU_PROCESS_ID=str(pid))
         env.pop("XLA_FLAGS", None)
+        # stderr kept SEPARATE: the C++ AOT-spam stream is unbuffered and
+        # once spliced itself into the middle of a buffered RESULT line
+        # when merged via STDOUT (flake: 'too many values to unpack')
         procs.append(subprocess.Popen(
             [sys.executable, str(script)], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs, errs = zip(*(p.communicate(timeout=600) for p in procs))
     for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"rank {pid} failed:\n{out[-4000:]}"
-        assert f"RESULT done {pid}" in out, out[-4000:]
+        assert p.returncode == 0, \
+            f"rank {pid} failed:\n{out[-2000:]}\n{errs[pid][-2000:]}"
+        assert f"RESULT done {pid}" in out, \
+            out[-2000:] + "\n" + errs[pid][-2000:]
 
     def result(out, tag, pid):
         for line in out.splitlines():
